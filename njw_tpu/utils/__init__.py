@@ -1,0 +1,1 @@
+from njw_tpu.utils.pytree import pytree_dataclass, static_field

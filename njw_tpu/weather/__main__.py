@@ -1,0 +1,91 @@
+"""CLI: python -m njw_tpu.weather  (also: python -m weather_sim)
+
+Mirrors the reference demo's argument surface
+(ref: src/weather-sim/python/examples/shallow_water_example.py:40-80:
+width/height/dt/steps/method/initial/backend/output) on the TPU framework.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="njw_tpu.weather",
+        description="TPU-native weather stencil solver (SWE / barotropic / "
+        "primitive equations)",
+    )
+    p.add_argument("--model", default="shallow_water",
+                   choices=["shallow_water", "barotropic", "primitive"])
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--levels", type=int, default=1)
+    p.add_argument("--dx", type=float, default=1.0)
+    p.add_argument("--dy", type=float, default=1.0)
+    p.add_argument("--dt", type=float, default=0.01)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument(
+        "--method", default="rk4",
+        choices=["euler", "rk2", "rk4", "adams_bashforth", "semi_implicit"],
+    )
+    p.add_argument("--initial", default="vortex")
+    p.add_argument("--bc", default="periodic", choices=["periodic", "clamped"])
+    p.add_argument("--coriolis", type=float, default=0.0)
+    p.add_argument("--beta", type=float, default=0.0)
+    p.add_argument("--viscosity", type=float, default=0.0)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas"])
+    p.add_argument("--output-interval", type=int, default=0,
+                   help="snapshot interval in steps (0 = no snapshots)")
+    p.add_argument("--output", default=None,
+                   help="write final state + snapshots to this .npz")
+    p.add_argument("--json", action="store_true",
+                   help="print metrics as one JSON line")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from njw_tpu.weather import SimConfig, Simulation
+
+    cfg = SimConfig(
+        model=args.model, grid_width=args.width, grid_height=args.height,
+        num_levels=args.levels, dx=args.dx, dy=args.dy, dt=args.dt,
+        integration_method=args.method, boundary_condition=args.bc,
+        coriolis_f=args.coriolis, beta=args.beta, viscosity=args.viscosity,
+        backend=args.backend, max_steps=args.steps,
+        output_interval=args.output_interval,
+    )
+    sim = Simulation.from_config(cfg, args.initial)
+    # Warm-up/compile outside the timed region, then reset metrics.
+    sim.step(1)
+    sim.metrics.reset() if hasattr(sim.metrics, "reset") else None
+    sim.metrics.total_time_ms = sim.metrics.compute_time_ms = 0.0
+    sim.metrics.num_steps = 0
+    sim.run(args.steps - 1, output_interval=args.output_interval)
+
+    m = sim.metrics.as_dict()
+    if args.json:
+        print(json.dumps(m))
+    else:
+        print(f"model={args.model} grid={args.width}x{args.height} "
+              f"method={args.method} steps={args.steps}")
+        for k, v in m.items():
+            print(f"  {k}: {v:,.3f}" if isinstance(v, float) else f"  {k}: {v}")
+
+    if args.output:
+        import numpy as np
+
+        payload = {f"final_{k}": v for k, v in
+                   (sim.output_fn(sim.state) if sim.output_fn else {}).items()}
+        np.savez_compressed(args.output,
+                            **{k: np.asarray(v) for k, v in payload.items()})
+        print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Barotropic vorticity core: Poisson inversion, Arakawa conservation,
+Rossby wave dispersion sanity."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from njw_tpu.ops.spectral import poisson_solve
+from njw_tpu.weather import GridSpec, PhysicsParams, SimConfig, Simulation
+from njw_tpu.weather.barotropic import (
+    BarotropicState, arakawa_jacobian, barotropic_tendencies,
+    invert_vorticity, velocities,
+)
+from njw_tpu.weather.dynamics import laplacian
+
+
+GRID = GridSpec(nx=64, ny=64, dx=1.0, dy=1.0)
+
+
+def _random_field(seed, shape=(64, 64)):
+    rng = np.random.default_rng(seed)
+    f = rng.standard_normal(shape).astype(np.float32)
+    return jnp.asarray(f - f.mean())
+
+
+class TestPoisson:
+    def test_inversion_consistent_with_fd_laplacian(self):
+        """laplacian5 symbol: Laplacian(poisson_solve(f)) == f exactly
+        (up to roundoff) for zero-mean f."""
+        f = _random_field(0)
+        psi = poisson_solve(f, 1.0, 1.0, kind="laplacian5")
+        back = laplacian(psi, 1.0, 1.0, "periodic")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(f),
+                                   rtol=1e-3, atol=5e-4)
+
+    def test_single_mode_exact(self):
+        """For f = sin(kx), psi must be -f/k_eff^2."""
+        n = 64
+        x = jnp.arange(n) * (2 * jnp.pi / n)
+        f = jnp.broadcast_to(jnp.sin(x)[None, :], (n, n)).astype(jnp.float32)
+        psi = poisson_solve(f, 1.0, 1.0, kind="laplacian5")
+        k_eff2 = 2.0 * (1.0 - np.cos(2 * np.pi / n))
+        np.testing.assert_allclose(
+            np.asarray(psi), -np.asarray(f) / k_eff2, rtol=1e-4, atol=1e-4
+        )
+
+
+class TestArakawa:
+    def test_jacobian_antisymmetry(self):
+        p, z = _random_field(1), _random_field(2)
+        j_pz = arakawa_jacobian(p, z, 1.0, 1.0)
+        j_zp = arakawa_jacobian(z, p, 1.0, 1.0)
+        np.testing.assert_allclose(
+            np.asarray(j_pz), -np.asarray(j_zp), rtol=1e-4, atol=1e-5
+        )
+
+    def test_jacobian_conserves_mean_vorticity(self):
+        """sum J(p, z) = 0 (discrete integral property)."""
+        p, z = _random_field(3), _random_field(4)
+        j = arakawa_jacobian(p, z, 1.0, 1.0)
+        assert abs(np.asarray(j, dtype=np.float64).sum()) < 1e-3
+
+    def test_enstrophy_conservation_semidiscrete(self):
+        """sum z * J(p, z) = 0: the Arakawa form conserves enstrophy."""
+        p, z = _random_field(5), _random_field(6)
+        j = arakawa_jacobian(p, z, 1.0, 1.0)
+        val = float((np.asarray(z, np.float64) * np.asarray(j, np.float64)).sum())
+        assert abs(val) < 1e-2
+
+    def test_energy_conservation_semidiscrete(self):
+        """sum p * J(p, z) = 0: conserves kinetic energy."""
+        p, z = _random_field(7), _random_field(8)
+        j = arakawa_jacobian(p, z, 1.0, 1.0)
+        val = float((np.asarray(p, np.float64) * np.asarray(j, np.float64)).sum())
+        assert abs(val) < 1e-2
+
+
+class TestBarotropicModel:
+    def test_simulation_runs_and_conserves_enstrophy(self):
+        cfg = SimConfig(model="barotropic", grid_width=64, grid_height=64,
+                        dt=0.05, integration_method="rk4")
+        sim = Simulation.from_config(cfg, "vortex", strength=5.0)
+        z0 = np.asarray(sim.state.zeta).astype(np.float64)
+        ens0 = float((z0 ** 2).sum())
+        sim.step(200)
+        z1 = np.asarray(sim.state.zeta).astype(np.float64)
+        ens1 = float((z1 ** 2).sum())
+        assert np.all(np.isfinite(z1))
+        # Arakawa + RK4: enstrophy drift stays small over 200 steps
+        assert abs(ens1 - ens0) / max(ens0, 1e-30) < 5e-3
+
+    def test_velocities_are_nondivergent(self):
+        zeta = _random_field(9)
+        psi = invert_vorticity(zeta, GRID)
+        u, v = velocities(psi, GRID)
+        from njw_tpu.weather.dynamics import d_dx, d_dy
+
+        div = d_dx(u, 1.0, "periodic") + d_dy(v, 1.0, "periodic")
+        assert float(jnp.max(jnp.abs(div))) < 1e-4
+
+    def test_beta_term_activates(self):
+        zeta = _random_field(10)
+        s = BarotropicState(zeta=zeta)
+        t0 = barotropic_tendencies(s, GRID, PhysicsParams())
+        t1 = barotropic_tendencies(s, GRID, PhysicsParams(beta=1e-2))
+        assert not np.allclose(np.asarray(t0.zeta), np.asarray(t1.zeta))
