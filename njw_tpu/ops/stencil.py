@@ -1,0 +1,210 @@
+"""Fused Pallas TPU stencil kernels for the shallow-water core.
+
+TPU-native replacement for the reference's SM-specialized shared-memory
+tiled CUDA kernels (ref: shallow_water_kernels.cu:50-603 — four per-SM
+variants, each staging a block+1 halo into shared memory). Here ONE kernel
+with a tunable strip height covers all TPU generations, and it fuses the
+*entire RK4 step* (4 stencil stages + combines), not just one
+tendency+Euler update like the reference kernel (ref :213-217):
+
+    HBM traffic/step: read u,v,h + 2x8-row halo slabs, write u',v',h'
+      = ~24 B/point + ~(16/BY) overhead  — vs ~96 B/point for 4 ideal
+      unfused stages and ~4 GB/step for the roll-materializing XLA path.
+
+Layout: the grid iterates over full-width row strips (BY, nx). The x
+direction stays whole inside the block, so x-wraparound is an in-VMEM lane
+roll. The y halo (4 rows for 4 chained stencil stages) comes from two 8-row
+neighbor slabs fetched via block index_maps — the multi-stage validity
+shrinks by one row per stage, ending exactly on the (BY, nx) interior:
+
+    rows valid:  load [0,BY+8) -> s1 [1,BY+7) -> s2 [2,BY+6)
+                 -> s3 [3,BY+5) -> T(s3) [4,BY+4) == output strip.
+
+RK4 in state form (no k-storage; identical arithmetic to integrators.rk4):
+    s1 = s + (dt/2) T(s);  s2 = s + (dt/2) T(s1);  s3 = s + dt T(s2)
+    s' = (-s + s1 + 2 s2 + s3)/3 + (dt/6) T(s3)
+
+Restrictions (fall back to the XLA path otherwise): periodic BC, constant
+Coriolis f (no beta field), nx % 128 == 0, ny % BY == 0.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from njw_tpu.weather.grid import GridSpec, PhysicsParams
+
+HALO = 4  # rows of halo each side = chained stencil stages per step
+
+
+def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
+    """Largest strip height whose ~18 live field buffers fit VMEM."""
+    # Mosaic's scoped-vmem stack holds ~30 live strip-sized f32 buffers at
+    # the deepest point of the fused 4-stage computation (measured on v5e:
+    # by=64 strips OOM'd at 17.1M, by=32 fits comfortably).
+    for by in (256, 128, 64, 32, 16, 8):
+        if ny % by:
+            continue
+        strip_bytes = (by + 2 * HALO) * nx * 4
+        if 32 * strip_bytes <= int(vmem_bytes * 0.9):
+            return by
+    return 8
+
+
+def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
+                   u_o, v_o, h_o, *, dt: float, gravity: float,
+                   coriolis_f: float, dx: float, dy: float, by: int):
+    """One grid step: fused RK4 over a (by, nx) strip with 4-row y halos."""
+    cx = 0.5 / dx
+    cy = 0.5 / dy
+    g = gravity
+    f = coriolis_f
+    h4 = HALO
+
+    def pad(c, t, b):
+        # top slab rows [g-8, g): need last HALO rows; bottom [g+by, g+by+8):
+        # need first HALO rows.
+        return jnp.concatenate([t[8 - h4:8], c[:], b[0:h4]], axis=0)
+
+    u = pad(u_c, u_t, u_b)
+    v = pad(v_c, v_t, v_b)
+    h = pad(h_c, h_t, h_b)
+
+    def sx(a, s):  # a shifted so result[i] = a[x + s]; x wraps (periodic)
+        return pltpu.roll(a, (-s) % a.shape[1], 1)
+
+    def sy(a, s):  # y shift inside the strip; edge rows become invalid
+        return pltpu.roll(a, (-s) % a.shape[0], 0)
+
+    def tendency(uu, vv, hh):
+        u_x = (sx(uu, 1) - sx(uu, -1)) * cx
+        u_y = (sy(uu, 1) - sy(uu, -1)) * cy
+        v_x = (sx(vv, 1) - sx(vv, -1)) * cx
+        v_y = (sy(vv, 1) - sy(vv, -1)) * cy
+        h_x = (sx(hh, 1) - sx(hh, -1)) * cx
+        h_y = (sy(hh, 1) - sy(hh, -1)) * cy
+        du = -uu * u_x - vv * u_y - g * h_x + f * vv
+        dv = -uu * v_x - vv * v_y - g * h_y - f * uu
+        dh = -hh * (u_x + v_y) - uu * h_x - vv * h_y
+        return du, dv, dh
+
+    half = 0.5 * dt
+    # Accumulator form of s' = (-s + s1 + 2 s2 + s3)/3 + (dt/6) T(s3):
+    # keeps only {s, current stage, accumulator} live (the naive form's
+    # s1..s3 all-live peak OOM'd VMEM at by=64).
+    du, dv, dh = tendency(u, v, h)                      # k1
+    cu, cv, ch = u + half * du, v + half * dv, h + half * dh    # s1
+    au, av, ah = cu - u, cv - v, ch - h                 # acc = -s + s1
+    du, dv, dh = tendency(cu, cv, ch)                   # k2
+    cu, cv, ch = u + half * du, v + half * dv, h + half * dh    # s2
+    au, av, ah = au + 2.0 * cu, av + 2.0 * cv, ah + 2.0 * ch
+    du, dv, dh = tendency(cu, cv, ch)                   # k3
+    cu, cv, ch = u + dt * du, v + dt * dv, h + dt * dh  # s3
+    au, av, ah = au + cu, av + cv, ah + ch
+    du, dv, dh = tendency(cu, cv, ch)                   # k4
+    third = 1.0 / 3.0
+    sixth = dt / 6.0
+    u_new = au * third + sixth * du
+    v_new = av * third + sixth * dv
+    h_new = ah * third + sixth * dh
+
+    u_o[:] = u_new[h4:h4 + by, :]
+    v_o[:] = v_new[h4:h4 + by, :]
+    h_o[:] = h_new[h4:h4 + by, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "gravity", "coriolis_f", "by", "interpret"),
+)
+def swe_rk4_step_pallas(
+    u, v, h, *, grid: GridSpec, dt: float, gravity: float = 9.81,
+    coriolis_f: float = 0.0, by: Optional[int] = None, interpret: bool = False,
+):
+    """One fused RK4 SWE step on (ny, nx) f32 fields. See module docstring."""
+    ny, nx = grid.ny, grid.nx
+    if nx % 128 or grid.bc != "periodic":
+        raise ValueError("pallas SWE kernel: nx%128==0 and periodic BC required")
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        by = _pick_by(ny, nx, detect().vmem_bytes)
+    if ny % by:
+        raise ValueError(f"ny={ny} not divisible by strip height {by}")
+    nby = ny // 8  # number of 8-row slabs
+
+    kern = functools.partial(
+        swe_rk4_kernel, dt=float(dt), gravity=float(gravity),
+        coriolis_f=float(coriolis_f), dx=float(grid.dx), dy=float(grid.dy),
+        by=by,
+    )
+    center = pl.BlockSpec((by, nx), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    r = by // 8  # slab blocks per strip
+    top = pl.BlockSpec((8, nx), lambda i: ((i * r - 1) % nby, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((8, nx), lambda i: ((i * r + r) % nby, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    flops_pt = 4 * 33 + 24
+    return pl.pallas_call(
+        kern,
+        grid=(ny // by,),
+        in_specs=[center, top, bot] * 3,
+        out_specs=(out, out, out),
+        out_shape=(shape, shape, shape),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_pt * ny * nx,
+            bytes_accessed=int((6 + 6 * 16 / by) * ny * nx * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(u, u, u, v, v, v, h, h, h)
+
+
+def make_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams, dt: float,
+                            by: Optional[int] = None,
+                            interpret: bool = False):
+    """Stepper-shaped wrapper so the Simulation driver / scan can use the
+    fused kernel interchangeably with the XLA integrators."""
+    from njw_tpu.weather.grid import WeatherState
+    from njw_tpu.weather.integrators import Stepper
+
+    g = float(params.gravity)
+    f = float(params.coriolis_f)
+
+    def step(carry, s, _dt_ignored):
+        u, v, h = swe_rk4_step_pallas(
+            s.u, s.v, s.h, grid=grid, dt=float(dt), gravity=g,
+            coriolis_f=f, by=by, interpret=interpret,
+        )
+        return carry, WeatherState(u=u, v=v, h=h)
+
+    return Stepper(lambda s: (), step, "rk4_pallas", 4)
+
+
+def pallas_supported(grid: GridSpec, params: PhysicsParams, model: str,
+                     method: str) -> bool:
+    """Eligibility for the fused kernel (otherwise XLA path)."""
+    import numbers
+
+    return (
+        model == "shallow_water"
+        and method == "rk4"
+        and grid.bc == "periodic"
+        and grid.nx % 128 == 0
+        and grid.ny % 8 == 0
+        and isinstance(params.gravity, numbers.Number)
+        and isinstance(params.coriolis_f, numbers.Number)
+        and isinstance(params.beta, numbers.Number)
+        and float(params.beta) == 0.0
+        and isinstance(params.viscosity, numbers.Number)
+        and float(params.viscosity) == 0.0
+    )

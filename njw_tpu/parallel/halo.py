@@ -1,0 +1,170 @@
+"""Halo exchange over a 2-D device mesh via shard_map + lax.ppermute.
+
+The multi-chip generalization of the reference's intra-GPU shared-memory
+halo tiles (ref: shallow_water_kernels.cu:61-188 stages a block+1 halo into
+shared memory with __syncthreads) — here the "block" is a whole chip's
+shard and the staging is ICI neighbor exchange:
+
+  1. each device sends its edge strips to its mesh neighbors (ppermute
+     rings along 'x' and 'y'),
+  2. the local block is padded with the received strips (corners come for
+     free by exchanging y-strips of the already-x-padded block),
+  3. stencils run on the padded block with plain slicing — no rolls, no
+     global communication.
+
+XLA schedules the ppermutes asynchronously; because the interior stencil
+has no data dependence on the halo strips, the compiler can overlap the
+edge exchange with interior compute (the BASELINE overlap requirement —
+measured by the scaling benchmark, see njw_tpu/bench).
+
+Boundary conditions: 'periodic' maps to pure ppermute rings. 'clamped' uses
+the same ring exchange plus edge-clamp masking on the global-boundary
+shards (ref CPU stencil behavior, weather_simulation.cpp:509-513).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from njw_tpu.weather.grid import GridSpec, PhysicsParams, WeatherState
+
+
+def _ring_shift(x: jnp.ndarray, axis_name: str, shift: int) -> jnp.ndarray:
+    """ppermute ring: returns the array held by the neighbor at -shift.
+
+    shift=+1: each device receives its *left/up* neighbor's payload
+    (src i -> dst i+1).
+    """
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        return x
+    perm = [(i, (i + shift) % n) for i in range(n)]
+    return lax.ppermute(x, axis_name, perm)
+
+
+def halo_pad_2d(
+    f: jnp.ndarray, halo: int = 1, *, x_axis: str = "x", y_axis: str = "y",
+    bc: str = "periodic",
+) -> jnp.ndarray:
+    """Pad a local (ly, lx) shard to (ly+2h, lx+2h) with neighbor data.
+
+    Must be called inside shard_map over a ('y','x') mesh. For bc='clamped'
+    the exchange is still a ring, but shards on the global boundary
+    overwrite the wrapped halo with their own edge (clamp).
+    """
+    h = halo
+    # --- x direction (minor axis) ---
+    left_halo = _ring_shift(f[..., :, -h:], x_axis, +1)   # from left neighbor
+    right_halo = _ring_shift(f[..., :, :h], x_axis, -1)   # from right neighbor
+    if bc == "clamped":
+        ix = lax.axis_index(x_axis)
+        nx = lax.axis_size(x_axis)
+        left_halo = jnp.where(ix == 0, f[..., :, :1].repeat(h, -1), left_halo)
+        right_halo = jnp.where(
+            ix == nx - 1, f[..., :, -1:].repeat(h, -1), right_halo
+        )
+    fx = jnp.concatenate([left_halo, f, right_halo], axis=-1)
+
+    # --- y direction (includes x halos -> corners correct) ---
+    top_halo = _ring_shift(fx[..., -h:, :], y_axis, +1)
+    bot_halo = _ring_shift(fx[..., :h, :], y_axis, -1)
+    if bc == "clamped":
+        iy = lax.axis_index(y_axis)
+        ny = lax.axis_size(y_axis)
+        top_halo = jnp.where(iy == 0, fx[..., :1, :].repeat(h, -2), top_halo)
+        bot_halo = jnp.where(
+            iy == ny - 1, fx[..., -1:, :].repeat(h, -2), bot_halo
+        )
+    return jnp.concatenate([top_halo, fx, bot_halo], axis=-2)
+
+
+def make_padded_shift_fn(halo: int, ly: int, lx: int):
+    """Slicing-view shift accessor over an (ly+2h, lx+2h) padded block,
+    matching the signature of dynamics.make_shift_fn: shift(f, dxi, dyi)
+    returns the (ly, lx) view offset by (dxi, dyi)."""
+    h = halo
+
+    def shift(fp: jnp.ndarray, dxi: int = 0, dyi: int = 0) -> jnp.ndarray:
+        return fp[..., h + dyi: h + dyi + ly, h + dxi: h + dxi + lx]
+
+    return shift
+
+
+def interior_crop(halo: int, ly: int, lx: int):
+    h = halo
+
+    def crop(fp: jnp.ndarray) -> jnp.ndarray:
+        return fp[..., h: h + ly, h: h + lx]
+
+    return crop
+
+
+# ---------------------------------------------------------------------------
+# Sharded SWE step
+# ---------------------------------------------------------------------------
+
+def sharded_state(state, mesh: Mesh):
+    """Place a whole-domain WeatherState onto the mesh, rows over 'y',
+    cols over 'x'."""
+    sharding = NamedSharding(mesh, P("y", "x"))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+def sharded_swe_step(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    method: str = "rk4", n_steps: int = 1,
+):
+    """Build a jitted multi-chip SWE step: shard_map over the ('y','x')
+    mesh, halo exchange per tendency evaluation (4x/step for RK4 — the
+    multi-stage exchange pattern SURVEY §7 flags as the hard part).
+
+    Returns step_fn(state) -> state operating on sharded WeatherState.
+    """
+    from njw_tpu.weather.dynamics import swe_tendencies_from_shifts
+    from njw_tpu.weather.integrators import make_stepper
+
+    py, px = mesh.devices.shape
+    if grid.ny % py or grid.nx % px:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} not divisible by mesh {py}x{px}"
+        )
+    ly, lx = grid.ny // py, grid.nx // px
+    shift = make_padded_shift_fn(1, ly, lx)
+    crop = interior_crop(1, ly, lx)
+    bc = grid.bc
+
+    def local_tendency(s: WeatherState) -> WeatherState:
+        up = halo_pad_2d(s.u, 1, bc=bc)
+        vp = halo_pad_2d(s.v, 1, bc=bc)
+        hp = halo_pad_2d(s.h, 1, bc=bc)
+        du, dv, dh = swe_tendencies_from_shifts(
+            up, vp, hp, shift, grid, params, interior=crop
+        )
+        return WeatherState(u=du, v=dv, h=dh)
+
+    stepper = make_stepper(method, local_tendency)
+    dt_f = jnp.float32(dt)
+
+    def local_steps(state: WeatherState) -> WeatherState:
+        carry = stepper.init(state)
+
+        def body(cs, _):
+            c, s = cs
+            c, s = stepper.step(c, s, dt_f)
+            return (c, s), None
+
+        (carry, state), _ = lax.scan(body, (carry, state), None,
+                                     length=n_steps)
+        return state
+
+    spec = WeatherState(u=P("y", "x"), v=P("y", "x"), h=P("y", "x"))
+    step_fn = jax.shard_map(
+        local_steps, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(step_fn, donate_argnums=(0,))

@@ -1,0 +1,4 @@
+from njw_tpu.platform.device import (
+    DeviceCaps, detect, hbm_bandwidth_gbps, tpu_generation, default_mesh,
+    stencil_block_shape,
+)

@@ -63,6 +63,26 @@ def _shift(f: Array, delta: int, axis: int, bc: str) -> Array:
     raise ValueError(f"unsupported shift {delta}")
 
 
+def make_shift_fn(bc: str):
+    """shift(f, dxi, dyi) -> f offset by (dxi, dyi) grid cells.
+
+    The physics below is written against this signature only, so the same
+    tendency math runs on (a) whole-domain arrays (roll/clamp, this
+    function), (b) halo-padded local shards (slicing views,
+    njw_tpu.parallel.halo.make_padded_shift_fn), and (c) Pallas VMEM blocks.
+    """
+
+    def shift(f: Array, dxi: int = 0, dyi: int = 0) -> Array:
+        out = f
+        if dxi:
+            out = _shift(out, dxi, _X, bc)
+        if dyi:
+            out = _shift(out, dyi, _Y, bc)
+        return out
+
+    return shift
+
+
 def d_dx(f: Array, dx: float, bc: str) -> Array:
     """Central difference along x (ref: weather_simulation.cpp:521)."""
     return (_shift(f, 1, _X, bc) - _shift(f, -1, _X, bc)) * (0.5 / dx)
@@ -78,6 +98,52 @@ def laplacian(f: Array, dx: float, dy: float, bc: str) -> Array:
     fxx = (_shift(f, 1, _X, bc) - 2.0 * f + _shift(f, -1, _X, bc)) / (dx * dx)
     fyy = (_shift(f, 1, _Y, bc) - 2.0 * f + _shift(f, -1, _Y, bc)) / (dy * dy)
     return fxx + fyy
+
+
+# --------------------------------------------------------------------------
+# Shift-parameterized physics core (shared by global / sharded / Pallas
+# paths). `shift(f, dxi, dyi)` must return fields of the *output* shape.
+# --------------------------------------------------------------------------
+
+def swe_tendencies_from_shifts(u, v, h, shift, grid: GridSpec,
+                               params: PhysicsParams, interior=None):
+    """SWE tendencies given a neighbor-shift accessor.
+
+    interior: optional fn cropping a (possibly padded) field to the output
+    shape; identity for whole-domain arrays.
+    """
+    crop = interior if interior is not None else (lambda f: f)
+    cx = 0.5 / grid.dx
+    cy = 0.5 / grid.dy
+
+    u_x = (shift(u, 1, 0) - shift(u, -1, 0)) * cx
+    u_y = (shift(u, 0, 1) - shift(u, 0, -1)) * cy
+    v_x = (shift(v, 1, 0) - shift(v, -1, 0)) * cx
+    v_y = (shift(v, 0, 1) - shift(v, 0, -1)) * cy
+    h_x = (shift(h, 1, 0) - shift(h, -1, 0)) * cx
+    h_y = (shift(h, 0, 1) - shift(h, 0, -1)) * cy
+
+    uc, vc, hc = crop(u), crop(v), crop(h)
+    f = params.coriolis_f
+    g = params.gravity
+
+    du = -uc * u_x - vc * u_y - g * h_x + f * vc
+    dv = -uc * v_x - vc * v_y - g * h_y - f * uc
+    dh = -hc * (u_x + v_y) - uc * h_x - vc * h_y
+
+    nu = params.viscosity
+    if not _is_concrete_zero(nu):
+        idx2 = 1.0 / (grid.dx * grid.dx)
+        idy2 = 1.0 / (grid.dy * grid.dy)
+        for fld, cen, acc in ((u, uc, "du"), (v, vc, "dv")):
+            lap = (shift(fld, 1, 0) - 2.0 * cen + shift(fld, -1, 0)) * idx2 + (
+                shift(fld, 0, 1) - 2.0 * cen + shift(fld, 0, -1)
+            ) * idy2
+            if acc == "du":
+                du = du + nu * lap
+            else:
+                dv = dv + nu * lap
+    return du, dv, dh
 
 
 def coriolis_field(grid: GridSpec, params: PhysicsParams) -> Array:
@@ -99,33 +165,18 @@ def coriolis_field(grid: GridSpec, params: PhysicsParams) -> Array:
 def swe_tendencies(
     s: WeatherState, grid: GridSpec, params: PhysicsParams
 ) -> WeatherState:
-    """Nonlinear SWE tendencies (ref: weather_simulation.cpp:473-540)."""
-    bc = grid.bc
-    ddx = partial(d_dx, dx=grid.dx, bc=bc)
-    ddy = partial(d_dy, dy=grid.dy, bc=bc)
+    """Nonlinear SWE tendencies (ref: weather_simulation.cpp:473-540).
 
-    u, v, h = s.u, s.v, s.h
-    u_x, u_y = ddx(u), ddy(u)
-    v_x, v_y = ddx(v), ddy(v)
-    h_x, h_y = ddx(h), ddy(h)
-
-    f = coriolis_field(grid, params)
-    g = params.gravity
-
-    du = -u * u_x - v * u_y - g * h_x + f * v
-    dv = -u * v_x - v * v_y - g * h_y - f * u
-    dh = -h * (u_x + v_y) - u * h_x - v * h_y
-
-    nu = params.viscosity
-    # `is not None and != 0` can't be traced; rely on XLA to fold the
-    # multiply when nu is a literal 0.0 — but avoid the laplacian entirely
-    # for the common concrete-float case.
-    if _is_concrete_zero(nu):
-        pass
-    else:
-        lap = partial(laplacian, dx=grid.dx, dy=grid.dy, bc=bc)
-        du = du + nu * lap(u)
-        dv = dv + nu * lap(v)
+    Whole-domain entry point; the physics lives in
+    :func:`swe_tendencies_from_shifts` (shared with the sharded and Pallas
+    paths). Beta-plane support enters by materializing f as a field.
+    """
+    p = params
+    if not _is_concrete_zero(params.beta):
+        p = params.replace(coriolis_f=coriolis_field(grid, params))
+    du, dv, dh = swe_tendencies_from_shifts(
+        s.u, s.v, s.h, make_shift_fn(grid.bc), grid, p
+    )
     return WeatherState(u=du, v=dv, h=dh)
 
 

@@ -201,7 +201,7 @@ class Simulation:
                 t, grid=grid, params=params
             )
         else:
-            stepper_factory = None
+            stepper_factory = _maybe_pallas_stepper(config, grid, params)
 
         def output_fn(s):
             out = {"u": s.u, "v": s.v, "h": s.h}
@@ -261,6 +261,40 @@ class Simulation:
         self.snapshots.append(snap)
         self.metrics.io_time_ms += (time.perf_counter() - t0) * 1e3
         self.metrics.total_time_ms += (time.perf_counter() - t0) * 1e3
+
+
+def _maybe_pallas_stepper(config: SimConfig, grid: GridSpec,
+                          params: PhysicsParams):
+    """Backend selection: 'auto' uses the fused Pallas kernel when the
+    configuration is eligible and a TPU is present; 'pallas' forces it
+    (interpret mode off-TPU); anything else -> XLA integrators.
+
+    This replaces the reference's selectOptimalBackend heuristic
+    (ref: weather_simulation.cpp:562-591) — there is no hybrid CPU split
+    on TPU, so the only decision is fused-kernel vs XLA-fallback.
+    """
+    backend = config.backend
+    if backend not in ("auto", "pallas"):
+        return None
+    from njw_tpu.ops.stencil import make_pallas_rk4_stepper, pallas_supported
+
+    if not pallas_supported(grid, params, config.model,
+                            config.integration_method):
+        if backend == "pallas":
+            raise ValueError(
+                "backend='pallas' requires shallow_water + rk4 + periodic "
+                "BC + constant f (beta=0, viscosity=0) and nx%128==0"
+            )
+        return None
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if backend == "auto" and not on_tpu:
+        return None
+    interpret = not on_tpu
+    return lambda _tendency: make_pallas_rk4_stepper(
+        grid, params, config.dt, interpret=interpret
+    )
 
 
 def _count_points(state: Any) -> int:

@@ -1,0 +1,116 @@
+"""Distributed 2-D domain decomposition: sharded result must match the
+single-device whole-domain result exactly (the key determinism/correctness
+property of the halo-exchange layer)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from njw_tpu.parallel.halo import halo_pad_2d, sharded_state, sharded_swe_step
+from njw_tpu.weather import (
+    GridSpec, PhysicsParams, SimConfig, Simulation, WeatherState,
+    make_initial_state,
+)
+
+
+def _mesh(py, px):
+    devs = np.array(jax.devices()[: py * px]).reshape(py, px)
+    return Mesh(devs, ("y", "x"))
+
+
+class TestHaloPad:
+    @pytest.mark.parametrize("bc", ["periodic", "clamped"])
+    def test_pad_matches_numpy(self, bc):
+        """shard_map halo_pad over a 2x2 mesh == numpy pad of the global
+        array, reassembled."""
+        mesh = _mesh(2, 2)
+        ny = nx = 16
+        f = jnp.arange(ny * nx, dtype=jnp.float32).reshape(ny, nx)
+
+        def local_pad(fl):
+            return halo_pad_2d(fl, 1, bc=bc)
+
+        padded = jax.jit(
+            jax.shard_map(
+                local_pad, mesh=mesh, in_specs=P("y", "x"),
+                out_specs=P("y", "x"), check_vma=False,
+            )
+        )(f)
+        # verify every shard's padded block against the global array
+        fnp = np.asarray(f)
+        mode = "wrap" if bc == "periodic" else "edge"
+        gp = np.pad(fnp, 1, mode=mode)
+        # shard (iy, ix) covers rows iy*8:(iy+1)*8; its pad in global
+        # padded coords starts at iy*8 (since gp has +1 offset)
+        out = np.asarray(padded)  # (ny+? , ...) concatenated along axes
+        # shard_map output concatenates local (10, 10) blocks into (20, 20)
+        assert out.shape == (20, 20)
+        for iy in range(2):
+            for ix in range(2):
+                blk = out[iy * 10:(iy + 1) * 10, ix * 10:(ix + 1) * 10]
+                ref_blk = gp[iy * 8: iy * 8 + 10, ix * 8: ix * 8 + 10]
+                np.testing.assert_array_equal(blk, ref_blk)
+
+
+class TestShardedStep:
+    @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 2), (2, 4), (1, 8)])
+    def test_matches_single_device(self, mesh_shape):
+        grid = GridSpec(nx=64, ny=64)
+        params = PhysicsParams(coriolis_f=1e-4)
+        state0 = make_initial_state("vortex", grid, strength=2.0)
+        state0 = WeatherState(u=state0.u, v=state0.v, h=state0.h)
+
+        mesh = _mesh(*mesh_shape)
+        step = sharded_swe_step(grid, params, mesh, dt=0.01, method="rk4",
+                                n_steps=20)
+        sharded = step(sharded_state(state0, mesh))
+
+        cfg = SimConfig(grid_width=64, grid_height=64, dt=0.01,
+                        coriolis_f=1e-4)
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        sim.step(20)
+
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(sim.state.h),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.u), np.asarray(sim.state.u),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_clamped_bc_matches(self):
+        grid = GridSpec(nx=32, ny=32, bc="clamped")
+        params = PhysicsParams()
+        state0 = make_initial_state("breaking_wave", grid)
+        state0 = WeatherState(u=state0.u, v=state0.v, h=state0.h)
+
+        mesh = _mesh(2, 2)
+        step = sharded_swe_step(grid, params, mesh, dt=0.005, method="rk2",
+                                n_steps=10)
+        sharded = step(sharded_state(state0, mesh))
+
+        cfg = SimConfig(grid_width=32, grid_height=32, dt=0.005,
+                        integration_method="rk2",
+                        boundary_condition="clamped")
+        sim = Simulation.from_config(cfg, "breaking_wave")
+        sim.step(10)
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(sim.state.h),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_determinism_across_step_partitions(self):
+        """20 steps in one call == 2 calls of 10 (donation/aliasing safety)."""
+        grid = GridSpec(nx=32, ny=32)
+        params = PhysicsParams()
+        s0 = make_initial_state("vortex", grid, strength=2.0)
+        s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+        mesh = _mesh(2, 2)
+
+        step20 = sharded_swe_step(grid, params, mesh, dt=0.01, n_steps=20)
+        step10 = sharded_swe_step(grid, params, mesh, dt=0.01, n_steps=10)
+        a = step20(sharded_state(s0, mesh))
+        b = step10(step10(sharded_state(s0, mesh)))
+        np.testing.assert_array_equal(np.asarray(a.h), np.asarray(b.h))
