@@ -109,10 +109,14 @@ def interior_crop(halo: int, ly: int, lx: int):
 # ---------------------------------------------------------------------------
 
 def sharded_state(state, mesh: Mesh):
-    """Place a whole-domain WeatherState onto the mesh, rows over 'y',
-    cols over 'x'."""
-    sharding = NamedSharding(mesh, P("y", "x"))
-    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+    """Place a whole-domain state pytree onto the mesh: trailing two dims
+    (rows, cols) over ('y', 'x'); leading dims (e.g. levels) replicated."""
+
+    def put(a):
+        spec = P(*([None] * (a.ndim - 2) + ["y", "x"]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, state)
 
 
 def sharded_swe_step(
@@ -163,6 +167,62 @@ def sharded_swe_step(
         return state
 
     spec = WeatherState(u=P("y", "x"), v=P("y", "x"), h=P("y", "x"))
+    step_fn = jax.shard_map(
+        local_steps, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def sharded_pe_step(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    method: str = "rk4", n_steps: int = 1,
+):
+    """Multi-chip primitive-equations step (BASELINE config 4/5): the
+    level dimension stays local (vertical integrals are cheap column
+    ops); the horizontal grid is 2-D decomposed with a fused multi-field
+    halo exchange — all five prognostic fields (u, v, T, q x levels + ps)
+    exchange per RK stage.
+    """
+    from njw_tpu.weather.integrators import make_stepper
+    from njw_tpu.weather.primitive import PEState, pe_tendencies_from_shifts
+
+    py, px = mesh.devices.shape
+    if grid.ny % py or grid.nx % px:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} not divisible by mesh {py}x{px}"
+        )
+    ly, lx = grid.ny // py, grid.nx // px
+    shift = make_padded_shift_fn(1, ly, lx)
+    crop = interior_crop(1, ly, lx)
+    bc = grid.bc
+
+    def local_tendency(s: PEState) -> PEState:
+        padded = PEState(
+            u=halo_pad_2d(s.u, 1, bc=bc), v=halo_pad_2d(s.v, 1, bc=bc),
+            T=halo_pad_2d(s.T, 1, bc=bc), q=halo_pad_2d(s.q, 1, bc=bc),
+            ps=halo_pad_2d(s.ps, 1, bc=bc),
+        )
+        return pe_tendencies_from_shifts(padded, shift, grid, params,
+                                         interior=crop)
+
+    stepper = make_stepper(method, local_tendency)
+    dt_f = jnp.float32(dt)
+
+    def local_steps(state: PEState) -> PEState:
+        carry = stepper.init(state)
+
+        def body(cs, _):
+            c, s = cs
+            c, s = stepper.step(c, s, dt_f)
+            return (c, s), None
+
+        (carry, state), _ = lax.scan(body, (carry, state), None,
+                                     length=n_steps)
+        return state
+
+    p3 = P(None, "y", "x")
+    spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", "x"))
     step_fn = jax.shard_map(
         local_steps, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False,

@@ -142,3 +142,62 @@ class SWEOracle:
         for _ in range(n_steps):
             s = self.step(s, dt, method)
         return s
+
+
+# ---------------------------------------------------------------------------
+# Primitive-equations oracle (independent NumPy implementation of
+# njw_tpu/weather/primitive.py — see that module's docstring for the
+# continuous equations; ref gap: weather_simulation.cpp:552-560).
+# ---------------------------------------------------------------------------
+
+_R_DRY = np.float32(287.04)
+_KAPPA = np.float32(287.04 / 1004.64)
+
+
+def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0):
+    """Returns (du, dv, dT, dq, dps); shapes (L,ny,nx) x4 + (ny,nx)."""
+    u, v, T, q, ps = (np.asarray(a, dtype=F) for a in (u, v, T, q, ps))
+    L = u.shape[0]
+    dsig = F(1.0 / L)
+    sig = ((np.arange(L, dtype=F) + F(0.5)) / F(L))[:, None, None]
+    sig_half = (np.arange(L + 1, dtype=F) / F(L))[:, None, None]
+    fcor = F(coriolis_f)
+
+    ddx = lambda a: d_dx(a, dx, bc)
+    ddy = lambda a: d_dy(a, dy, bc)
+
+    lnps = np.log(ps)
+    flux_div = ddx(ps * u) + ddy(ps * v)
+    dps = -(flux_div.sum(axis=0)) * dsig
+    cum = np.cumsum(flux_div, axis=0) * dsig
+    sdot_ps = -sig_half[1:-1] * dps[None] - cum[:-1]
+    sdot_half = np.concatenate(
+        [np.zeros_like(sdot_ps[:1]), sdot_ps / ps[None],
+         np.zeros_like(sdot_ps[:1])], axis=0)
+
+    def vadv(X):
+        dX = X[1:] - X[:-1]
+        upper = sdot_half[1:-1] * dX
+        pad = np.zeros_like(X[:1])
+        return (np.concatenate([upper, pad], axis=0)
+                + np.concatenate([pad, upper], axis=0)) * F(0.5 / dsig)
+
+    # hydrostatic geopotential
+    ln_ratio = np.log(sig[1:, 0, 0] / sig[:-1, 0, 0]).astype(F)
+    phi_bot = _R_DRY * T[-1] * F(-np.log(sig[-1, 0, 0]))
+    thick = _R_DRY * F(0.5) * (T[:-1] + T[1:]) * ln_ratio[:, None, None]
+    below = np.cumsum(thick[::-1], axis=0)[::-1]
+    phi = np.concatenate([phi_bot[None] + below, phi_bot[None]], axis=0)
+
+    lnps_x, lnps_y = ddx(lnps), ddy(lnps)
+    du = (-u * ddx(u) - v * ddy(u) - vadv(u) + fcor * v
+          - ddx(phi) - _R_DRY * T * lnps_x)
+    dv = (-u * ddx(v) - v * ddy(v) - vadv(v) - fcor * u
+          - ddy(phi) - _R_DRY * T * lnps_y)
+
+    dlnps_adv = dps / ps + u * lnps_x + v * lnps_y
+    sdot_full = F(0.5) * (sdot_half[:-1] + sdot_half[1:])
+    omega_over_p = sdot_full / sig + dlnps_adv
+    dT = -u * ddx(T) - v * ddy(T) - vadv(T) + _KAPPA * T * omega_over_p
+    dq = -u * ddx(q) - v * ddy(q) - vadv(q)
+    return du, dv, dT, dq, dps

@@ -114,3 +114,31 @@ class TestShardedStep:
         a = step20(sharded_state(s0, mesh))
         b = step10(step10(sharded_state(s0, mesh)))
         np.testing.assert_array_equal(np.asarray(a.h), np.asarray(b.h))
+
+
+class TestShardedPE:
+    def test_matches_single_device(self):
+        from njw_tpu.parallel.halo import sharded_pe_step
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        grid = GridSpec(nx=48, ny=32, levels=4, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+
+        mesh = _mesh(2, 2)
+        step = sharded_pe_step(grid, params, mesh, dt=30.0, method="rk4",
+                               n_steps=10)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(model="primitive", grid_width=48, grid_height=32,
+                        num_levels=4, dx=1e5, dy=1e5, dt=30.0,
+                        coriolis_f=1e-4)
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=15.0,
+                                     perturb=0.5)
+        sim.step(10)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name)),
+                np.asarray(getattr(sim.state, name)),
+                rtol=2e-5, atol=2e-5, err_msg=name,
+            )

@@ -1,0 +1,109 @@
+"""Primitive-equations core: steady states, oracle match, conservation."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from njw_tpu.weather import GridSpec, PhysicsParams, SimConfig, Simulation
+from njw_tpu.weather.oracle import pe_tendencies_np
+from njw_tpu.weather.primitive import (
+    PEState, hydrostatic_geopotential, pe_initial_state, pe_tendencies,
+    sigma_levels,
+)
+
+GRID = GridSpec(nx=48, ny=32, levels=5, dx=1e5, dy=1e5)  # 100 km cells
+PARAMS = PhysicsParams(coriolis_f=1e-4)
+
+
+class TestBasics:
+    def test_sigma_levels(self):
+        full, half = sigma_levels(4)
+        np.testing.assert_allclose(np.asarray(full), [0.125, 0.375, 0.625, 0.875])
+        np.testing.assert_allclose(np.asarray(half), [0, 0.25, 0.5, 0.75, 1.0])
+
+    def test_geopotential_isothermal_column(self):
+        """For uniform T, Phi_k = R T ln(1/sigma_k) exactly."""
+        L = 8
+        T = jnp.full((L, 4, 4), 250.0, jnp.float32)
+        phi = hydrostatic_geopotential(T, L)
+        sig, _ = sigma_levels(L)
+        expected = 287.04 * 250.0 * (-np.log(np.asarray(sig)))
+        np.testing.assert_allclose(
+            np.asarray(phi[:, 0, 0]), expected, rtol=1e-5
+        )
+        # monotonic: higher levels (smaller sigma) have larger Phi
+        assert np.all(np.diff(np.asarray(phi[:, 0, 0])) < 0)
+
+
+class TestSteadyStates:
+    def test_resting_isothermal_atmosphere_is_steady(self):
+        """u=v=0, uniform T and ps: every tendency must vanish."""
+        s = pe_initial_state(GRID, u_jet=0.0, lapse=0.0, deltaT_y=0.0)
+        t = pe_tendencies(s, GRID, PARAMS)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(t, name)), 0.0, atol=1e-5,
+                err_msg=f"tendency {name} not zero in resting state",
+            )
+
+    def test_resting_stratified_atmosphere_is_steady(self):
+        """Vertical stratification alone (no horizontal gradients) is
+        steady: Phi gradient vanishes horizontally."""
+        s = pe_initial_state(GRID, u_jet=0.0, lapse=60.0, deltaT_y=0.0)
+        t = pe_tendencies(s, GRID, PARAMS)
+        np.testing.assert_allclose(np.asarray(t.u), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t.ps), 0.0, atol=1e-5)
+
+
+class TestOracle:
+    @pytest.mark.parametrize("bc", ["periodic", "clamped"])
+    def test_tendencies_match_numpy_oracle(self, bc):
+        grid = GridSpec(nx=48, ny=32, levels=5, dx=1e5, dy=1e5, bc=bc)
+        s = pe_initial_state(grid, u_jet=15.0, perturb=1.0)
+        t = pe_tendencies(s, grid, PARAMS)
+        du, dv, dT, dq, dps = pe_tendencies_np(
+            *(np.asarray(x) for x in (s.u, s.v, s.T, s.q, s.ps)),
+            dx=grid.dx, dy=grid.dy, bc=bc, coriolis_f=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(t.u), du, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t.v), dv, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t.T), dT, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t.q), dq, rtol=1e-4, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(t.ps), dps, rtol=1e-4, atol=1e-6)
+
+
+class TestSimulation:
+    def _cfg(self, **kw):
+        base = dict(model="primitive", grid_width=48, grid_height=32,
+                    num_levels=5, dx=1e5, dy=1e5, dt=30.0,
+                    integration_method="rk4", coriolis_f=1e-4)
+        base.update(kw)
+        return SimConfig(**base)
+
+    def test_runs_and_stays_finite(self):
+        sim = Simulation.from_config(self._cfg(), "baroclinic", perturb=0.5)
+        sim.step(100)
+        for f in (sim.state.u, sim.state.T, sim.state.ps):
+            assert np.all(np.isfinite(np.asarray(f)))
+        # surface pressure should stay near its initial value
+        ps = np.asarray(sim.state.ps)
+        assert 900.0 < ps.mean() < 1100.0
+
+    def test_mass_conservation(self):
+        """sum(ps) is conserved (flux-form continuity telescopes)."""
+        sim = Simulation.from_config(self._cfg(), "baroclinic", perturb=0.5)
+        m0 = float(np.asarray(sim.state.ps, np.float64).sum())
+        sim.step(50)
+        m1 = float(np.asarray(sim.state.ps, np.float64).sum())
+        assert abs(m1 - m0) / m0 < 1e-5
+
+    def test_jet_generates_meridional_flow(self):
+        """Unbalanced jet must excite v (geostrophic adjustment)."""
+        sim = Simulation.from_config(self._cfg(), "baroclinic")
+        assert float(jnp.max(jnp.abs(sim.state.v))) == 0.0
+        sim.step(20)
+        assert float(jnp.max(jnp.abs(sim.state.v))) > 0.0
+
+    def test_snapshots_contain_pe_fields(self):
+        sim = Simulation.from_config(self._cfg(), "baroclinic")
+        sim.run(10, output_interval=5)
+        assert set(sim.snapshots[0]) >= {"u", "v", "T", "q", "ps"}
