@@ -1,0 +1,469 @@
+"""Digital filtering: FIR / IIR / adaptive / multirate.
+
+API parity with the reference's pImpl filter classes
+(ref: digital_filtering.h:140-434; impl digital_filtering.cpp:516-1101;
+Python ref: python/signal_processing/filters.py:86-1052). TPU mapping:
+
+* FIR application = batched convolution (lax.conv_general_dilated / MXU)
+  — replaces the three CUDA FIR kernels (ref: filter_kernels.cu:77-170).
+* IIR application = lax.scan over time of second-order sections in
+  transposed direct-form II — replaces the DF1/DF2/SOS kernels
+  (ref: filter_kernels.cu:230-339). Sequential in time, vectorized over
+  batch (the dimension TPUs care about).
+* adaptive LMS/NLMS/RLS = lax.scan (ref LMS kernels: filter_kernels.cu:597-651).
+* multirate decimate/interpolate/polyphase resample
+  (ref: filter_kernels.cu:722-765).
+
+Filter *design* (window-method FIR; Butterworth/Chebyshev-I/II/Bessel IIR
+via analog prototype + bilinear transform) runs host-side in NumPy — design
+is O(order), application is the hot path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njw_tpu.signal.windows import get_window
+
+# ---------------------------------------------------------------------------
+# FIR design (window method, ref design enums: digital_filtering.h:42-93)
+# ---------------------------------------------------------------------------
+
+
+def _sinc_lowpass(num_taps: int, cutoff: float) -> np.ndarray:
+    """Ideal lowpass impulse response; cutoff in (0, 1) Nyquist units."""
+    m = np.arange(num_taps) - (num_taps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * m)
+    return h
+
+
+def design_fir_lowpass(num_taps: int, cutoff: float,
+                       window: str = "hamming") -> np.ndarray:
+    w = np.asarray(get_window(window, num_taps))
+    h = _sinc_lowpass(num_taps, cutoff) * w
+    return (h / h.sum()).astype(np.float32)
+
+
+def design_fir_highpass(num_taps: int, cutoff: float,
+                        window: str = "hamming") -> np.ndarray:
+    if num_taps % 2 == 0:
+        raise ValueError("highpass FIR needs odd num_taps")
+    lp = design_fir_lowpass(num_taps, cutoff, window)
+    h = -lp
+    h[(num_taps - 1) // 2] += 1.0
+    return h.astype(np.float32)
+
+
+def design_fir_bandpass(num_taps: int, low: float, high: float,
+                        window: str = "hamming") -> np.ndarray:
+    w = np.asarray(get_window(window, num_taps))
+    h = (_sinc_lowpass(num_taps, high) - _sinc_lowpass(num_taps, low)) * w
+    # normalize at band center
+    m = np.arange(num_taps) - (num_taps - 1) / 2.0
+    fc = (low + high) / 2.0
+    gain = np.abs(np.sum(h * np.exp(-1j * np.pi * fc * m)))
+    return (h / max(gain, 1e-12)).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def fir_apply(x, taps, mode: str = "causal"):
+    """Apply FIR taps to (..., n) signals via convolution.
+
+    mode='causal': y[i] = sum_k h[k] x[i-k], zero initial state (matches a
+    streaming direct-form FIR, ref: filter_kernels.cu:77).
+    mode='same' : zero-phase-ish center alignment.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    taps = jnp.asarray(taps, jnp.float32)
+    squeeze = x.ndim == 1
+    xb = x[None, :] if squeeze else x.reshape(-1, x.shape[-1])
+    k = taps.shape[0]
+    lhs = xb[:, None, :]                      # (B, C=1, W)
+    rhs = taps[::-1][None, None, :]           # (O=1, I=1, W)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(k - 1, k - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )[:, 0, :]
+    n = xb.shape[-1]
+    if mode == "causal":
+        y = out[:, :n]
+    elif mode == "same":
+        start = (k - 1) // 2
+        y = out[:, start:start + n]
+    else:
+        raise ValueError(mode)
+    return y[0] if squeeze else y.reshape(x.shape)
+
+
+class FIRFilter:
+    """ref: digital_filtering.h:140 FIRFilter (design+apply+reset)."""
+
+    def __init__(self, taps=None, *, num_taps: Optional[int] = None,
+                 cutoff=None, filter_type: str = "lowpass",
+                 window: str = "hamming"):
+        if taps is None:
+            if filter_type == "lowpass":
+                taps = design_fir_lowpass(num_taps, cutoff, window)
+            elif filter_type == "highpass":
+                taps = design_fir_highpass(num_taps, cutoff, window)
+            elif filter_type == "bandpass":
+                taps = design_fir_bandpass(num_taps, *cutoff, window=window)
+            elif filter_type == "bandstop":
+                bp = design_fir_bandpass(num_taps, *cutoff, window=window)
+                taps = -bp
+                taps[(num_taps - 1) // 2] += 1.0
+            else:
+                raise ValueError(f"unknown filter_type {filter_type!r}")
+        self.taps = np.asarray(taps, np.float32)
+
+    def apply(self, x, mode: str = "causal"):
+        return fir_apply(x, self.taps, mode=mode)
+
+    __call__ = apply
+
+    def frequency_response(self, n_points: int = 512):
+        H = np.fft.rfft(self.taps, n=2 * n_points)
+        freqs = np.linspace(0.0, 1.0, len(H))
+        return freqs, H
+
+
+# ---------------------------------------------------------------------------
+# IIR design: analog prototype -> frequency transform -> bilinear -> SOS
+# ---------------------------------------------------------------------------
+
+
+def _butter_poles(order: int) -> np.ndarray:
+    k = np.arange(order)
+    theta = np.pi * (2 * k + order + 1) / (2 * order)
+    return np.exp(1j * theta)
+
+
+def _cheby1_poles(order: int, ripple_db: float) -> tuple[np.ndarray, float]:
+    eps = np.sqrt(10 ** (ripple_db / 10.0) - 1.0)
+    mu = np.arcsinh(1.0 / eps) / order
+    k = np.arange(order)
+    theta = np.pi * (2 * k + 1) / (2 * order)
+    poles = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+    # passband gain normalization handled by overall gain later
+    gain = np.real(np.prod(-poles)) / (np.sqrt(1 + eps * eps)
+                                       if order % 2 == 0 else 1.0)
+    return poles, gain
+
+
+def _bessel_poles(order: int) -> np.ndarray:
+    """Poles of the reversed Bessel polynomial (delay-normalized)."""
+    # Bessel polynomial coefficients a_k = (2n-k)! / (2^(n-k) k! (n-k)!)
+    from math import factorial
+
+    n = order
+    coeffs = [
+        factorial(2 * n - k) / (2 ** (n - k) * factorial(k) * factorial(n - k))
+        for k in range(n + 1)
+    ]
+    # polynomial in s: sum_k a_k s^k -> numpy roots wants highest-first
+    poles = np.roots(list(reversed(coeffs)))
+    return poles
+
+
+def _zpk_bilinear(z, p, k, fs2: float = 2.0):
+    """Bilinear s->z with prewarp factor folded into the cutoff transform."""
+    z = np.atleast_1d(z)
+    p = np.atleast_1d(p)
+    degree = len(p) - len(z)
+    zd = (fs2 + z) / (fs2 - z)
+    pd = (fs2 + p) / (fs2 - p)
+    zd = np.append(zd, -np.ones(degree))
+    kd = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return zd, pd, kd
+
+
+def _zpk_to_sos(z, p, k) -> np.ndarray:
+    """Pair conjugate roots into biquad sections (simple pairing)."""
+
+    def pair(roots):
+        roots = sorted(roots, key=lambda r: (abs(r.imag) < 1e-10, r.real))
+        used = [False] * len(roots)
+        pairs = []
+        for i, r in enumerate(roots):
+            if used[i]:
+                continue
+            used[i] = True
+            if abs(r.imag) > 1e-10:
+                # find conjugate
+                for j in range(i + 1, len(roots)):
+                    if not used[j] and abs(roots[j] - np.conj(r)) < 1e-6:
+                        used[j] = True
+                        pairs.append((r, roots[j]))
+                        break
+                else:
+                    pairs.append((r, np.conj(r)))
+            else:
+                # pair reals
+                mate = None
+                for j in range(i + 1, len(roots)):
+                    if not used[j] and abs(roots[j].imag) < 1e-10:
+                        mate = j
+                        break
+                if mate is not None:
+                    used[mate] = True
+                    pairs.append((r, roots[mate]))
+                else:
+                    pairs.append((r, None))
+        return pairs
+
+    zp = pair(list(z))
+    pp = pair(list(p))
+    n_sections = max(len(zp), len(pp))
+    while len(zp) < n_sections:
+        zp.append((None, None))
+    while len(pp) < n_sections:
+        pp.append((None, None))
+
+    def poly(rpair):
+        a, b = rpair
+        if a is None:
+            return np.array([1.0, 0.0, 0.0])
+        if b is None:
+            return np.array([1.0, -a.real, 0.0])
+        c = np.real(np.poly([a, b]))
+        return np.pad(c, (0, 3 - len(c)))
+
+    sos = []
+    for i in range(n_sections):
+        b = poly(zp[i])
+        a = poly(pp[i])
+        if i == 0:
+            b = b * k
+        sos.append(np.concatenate([b, a]))
+    return np.asarray(sos, np.float64)
+
+
+def _design_iir(kind: str, order: int, cutoff, btype: str,
+                ripple_db: float = 1.0) -> np.ndarray:
+    """Digital IIR as SOS. cutoff in Nyquist units (0,1); btype
+    lowpass|highpass|bandpass."""
+    if kind == "butterworth":
+        p = _butter_poles(order)
+        k = np.real(np.prod(-p))
+    elif kind == "chebyshev1":
+        p, k = _cheby1_poles(order, ripple_db)
+    elif kind == "chebyshev2":
+        # stopband form: transform cheby1 poles/zeros
+        eps = 1.0 / np.sqrt(10 ** (ripple_db / 10.0) - 1.0)
+        mu = np.arcsinh(1.0 / eps) / order
+        kk = np.arange(order)
+        theta = np.pi * (2 * kk + 1) / (2 * order)
+        p1 = -np.sinh(mu) * np.sin(theta) + 1j * np.cosh(mu) * np.cos(theta)
+        p = 1.0 / p1
+        zeros = 1j / np.cos(theta[np.abs(np.cos(theta)) > 1e-8])
+        k = np.real(np.prod(-p) / np.prod(-zeros))
+        z = zeros
+    elif kind == "bessel":
+        p = _bessel_poles(order)
+        # normalize to unit -3 dB-ish frequency (scale by |p| geometric mean)
+        p = p / np.abs(np.prod(p)) ** (1.0 / order)
+        k = np.real(np.prod(-p))
+    else:
+        raise ValueError(
+            f"unsupported IIR family {kind!r} "
+            "(available: butterworth, chebyshev1, chebyshev2, bessel)")
+    z = locals().get("z", np.array([]))
+
+    # frequency transform on the analog prototype, with bilinear prewarp
+    fs2 = 2.0
+    if btype == "lowpass":
+        wc = fs2 * np.tan(np.pi * cutoff / 2.0)
+        z, p, k = z * wc, p * wc, k * wc ** (len(p) - len(z))
+    elif btype == "highpass":
+        wc = fs2 * np.tan(np.pi * cutoff / 2.0)
+        k = k * np.real(np.prod(-z) / np.prod(-p)) if len(z) else (
+            k / np.real(np.prod(-p)))
+        z, p = wc / z if len(z) else z, wc / p
+        z = np.append(z, np.zeros(len(p) - len(z)))
+        k = 1.0 * k if kind != "butterworth" else 1.0
+        if kind == "butterworth":
+            k = 1.0
+    elif btype == "bandpass":
+        lo, hi = cutoff
+        w1 = fs2 * np.tan(np.pi * lo / 2.0)
+        w2 = fs2 * np.tan(np.pi * hi / 2.0)
+        bw, w0 = w2 - w1, np.sqrt(w1 * w2)
+        degree = len(p) - len(z)
+        p = p * bw / 2.0
+        z = z * bw / 2.0
+        p = np.concatenate([p + np.sqrt(p ** 2 - w0 ** 2),
+                            p - np.sqrt(p ** 2 - w0 ** 2)])
+        z = np.concatenate([z + np.sqrt(z ** 2 - w0 ** 2),
+                            z - np.sqrt(z ** 2 - w0 ** 2)]) if len(z) else z
+        z = np.append(z, np.zeros(degree))
+        k = k * bw ** degree
+    else:
+        raise ValueError(f"unsupported btype {btype!r}")
+
+    zd, pd, kd = _zpk_bilinear(z, p, k, fs2)
+    sos = _zpk_to_sos(zd, pd, kd)
+    # normalize each section by a0
+    sos = sos / sos[:, [3]]
+    return sos.astype(np.float32)
+
+
+def butterworth(order: int, cutoff, btype: str = "lowpass") -> np.ndarray:
+    return _design_iir("butterworth", order, cutoff, btype)
+
+
+def chebyshev1(order: int, cutoff, btype: str = "lowpass",
+               ripple_db: float = 1.0) -> np.ndarray:
+    return _design_iir("chebyshev1", order, cutoff, btype, ripple_db)
+
+
+@jax.jit
+def sos_apply(x, sos):
+    """Apply second-order sections (transposed DF-II) along the last axis
+    with lax.scan; batch dims vectorized (ref SOS kernel:
+    filter_kernels.cu:339)."""
+    x = jnp.asarray(x, jnp.float32)
+    sos = jnp.asarray(sos, jnp.float32)
+    squeeze = x.ndim == 1
+    xb = x[None, :] if squeeze else x.reshape(-1, x.shape[-1])
+
+    def one_section(xb, coef):
+        b0, b1, b2, _a0, a1, a2 = [coef[i] for i in range(6)]
+
+        def step(carry, xt):
+            d1, d2 = carry
+            y = b0 * xt + d1
+            d1n = b1 * xt - a1 * y + d2
+            d2n = b2 * xt - a2 * y
+            return (d1n, d2n), y
+
+        z = jnp.zeros(xb.shape[0], jnp.float32)
+        _, y = jax.lax.scan(step, (z, z), xb.T)
+        return y.T
+
+    def body(carry, coef):
+        return one_section(carry, coef), None
+
+    yb, _ = jax.lax.scan(body, xb, sos)
+    return yb[0] if squeeze else yb.reshape(x.shape)
+
+
+class IIRFilter:
+    """ref: digital_filtering.h:233 IIRFilter."""
+
+    def __init__(self, sos=None, *, design: str = "butterworth",
+                 order: int = 4, cutoff=0.25, btype: str = "lowpass",
+                 ripple_db: float = 1.0):
+        if sos is None:
+            sos = _design_iir(design, order, cutoff, btype, ripple_db)
+        self.sos = np.asarray(sos, np.float32)
+
+    def apply(self, x):
+        return sos_apply(x, self.sos)
+
+    __call__ = apply
+
+    def frequency_response(self, n_points: int = 512):
+        w = np.linspace(0, np.pi, n_points)
+        z = np.exp(1j * w)
+        H = np.ones_like(z)
+        for b0, b1, b2, a0, a1, a2 in self.sos:
+            H = H * (b0 + b1 / z + b2 / z ** 2) / (a0 + a1 / z + a2 / z ** 2)
+        return w / np.pi, H
+
+
+# ---------------------------------------------------------------------------
+# Adaptive filters (ref: digital_filtering.h:335 AdaptiveFilter; LMS/NLMS
+# kernels ref: filter_kernels.cu:597-651)
+# ---------------------------------------------------------------------------
+
+
+class AdaptiveFilter:
+    def __init__(self, num_taps: int = 32, method: str = "lms",
+                 mu: float = 0.01, eps: float = 1e-6,
+                 forgetting: float = 0.99):
+        self.num_taps = num_taps
+        self.method = method
+        self.mu = mu
+        self.eps = eps
+        self.forgetting = forgetting
+
+    def apply(self, x, d):
+        """Adapt to make y = w.x_window track d. Returns (y, e, w_final)."""
+        x = jnp.asarray(x, jnp.float32)
+        d = jnp.asarray(d, jnp.float32)
+        L = self.num_taps
+        xpad = jnp.concatenate([jnp.zeros(L - 1, jnp.float32), x])
+        frames = xpad[jnp.arange(x.shape[0])[:, None]
+                      + jnp.arange(L)[None, :]][:, ::-1]  # newest first
+
+        if self.method in ("lms", "nlms"):
+            mu, eps, nlms = self.mu, self.eps, self.method == "nlms"
+
+            def step(w, fd):
+                f, dt = fd
+                y = jnp.dot(w, f)
+                e = dt - y
+                g = mu * e * f
+                if nlms:
+                    g = g / (jnp.dot(f, f) + eps)
+                return w + g, (y, e)
+
+            w0 = jnp.zeros(L, jnp.float32)
+            w, (y, e) = jax.lax.scan(step, w0, (frames, d))
+            return y, e, w
+        if self.method == "rls":
+            lam = self.forgetting
+
+            def step(carry, fd):
+                w, P = carry
+                f, dt = fd
+                Pf = P @ f
+                k = Pf / (lam + jnp.dot(f, Pf))
+                y = jnp.dot(w, f)
+                e = dt - y
+                w = w + k * e
+                P = (P - jnp.outer(k, Pf)) / lam
+                return (w, P), (y, e)
+
+            w0 = jnp.zeros(L, jnp.float32)
+            P0 = jnp.eye(L, dtype=jnp.float32) / self.eps
+            (w, _), (y, e) = jax.lax.scan(step, (w0, P0), (frames, d))
+            return y, e, w
+        raise ValueError(f"unknown adaptive method {self.method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Multirate (ref: digital_filtering.h:396 MultirateFilter; kernels
+# ref: filter_kernels.cu:722-765)
+# ---------------------------------------------------------------------------
+
+
+class MultirateFilter:
+    def __init__(self, *, num_taps: int = 64, window: str = "hamming"):
+        self.num_taps = num_taps
+        self.window = window
+
+    def decimate(self, x, factor: int):
+        """Anti-alias lowpass then downsample by `factor`."""
+        taps = design_fir_lowpass(self.num_taps, 1.0 / factor - 0.02,
+                                  self.window)
+        y = fir_apply(jnp.asarray(x), taps, mode="same")
+        return y[..., ::factor]
+
+    def interpolate(self, x, factor: int):
+        """Zero-stuff then image-reject lowpass (gain = factor)."""
+        x = jnp.asarray(x, jnp.float32)
+        shape = x.shape[:-1] + (x.shape[-1] * factor,)
+        up = jnp.zeros(shape, jnp.float32)
+        up = up.at[..., ::factor].set(x)
+        taps = design_fir_lowpass(self.num_taps, 1.0 / factor - 0.02,
+                                  self.window) * factor
+        return fir_apply(up, taps, mode="same")
+
+    def resample(self, x, up: int, down: int):
+        """Rational-rate polyphase resample up/down."""
+        return self.decimate(self.interpolate(x, up), down)

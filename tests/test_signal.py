@@ -1,0 +1,299 @@
+"""Signal-processing workload tests (coverage mirrors ref
+python/tests/test_{filters,spectral,wavelet,tf_analysis}.py)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from njw_tpu.signal import (
+    CWT, DWT, EMD, FFT, STFT, AdaptiveFilter, FIRFilter, IIRFilter,
+    MultirateFilter, SpectralAnalyzer, WignerVille, butterworth, chebyshev1,
+    compute_coherence, compute_psd, compute_spectrogram, detect_peaks,
+    get_window, mel_spectrogram, mfcc,
+)
+
+FS = 1000.0
+
+
+def tone(freq, n=4096, fs=FS, amp=1.0, phase=0.0):
+    t = np.arange(n) / fs
+    return (amp * np.sin(2 * np.pi * freq * t + phase)).astype(np.float32)
+
+
+def band_power(x, lo, hi, fs=FS):
+    f, p = compute_psd(x, fs=fs, nperseg=1024)
+    f, p = np.asarray(f), np.asarray(p)
+    sel = (f >= lo) & (f <= hi)
+    return float(p[sel].sum())
+
+
+class TestWindows:
+    @pytest.mark.parametrize("name", ["hann", "hamming", "blackman",
+                                      "bartlett", "flattop", "kaiser",
+                                      "blackman_harris", "rectangular"])
+    def test_shapes_and_symmetry(self, name):
+        w = np.asarray(get_window(name, 65))
+        assert w.shape == (65,)
+        np.testing.assert_allclose(w, w[::-1], atol=1e-5)
+        assert w.max() <= 1.0 + 1e-6
+
+    def test_unknown_window_raises(self):
+        with pytest.raises(ValueError):
+            get_window("gauss9", 64)
+
+
+class TestFFT:
+    def test_roundtrip(self):
+        x = np.random.default_rng(0).standard_normal(256).astype(np.float32)
+        f = FFT()
+        np.testing.assert_allclose(np.asarray(f.inverse(f.forward(x))).real,
+                                   x, atol=1e-4)
+
+    def test_tone_bin(self):
+        x = tone(125.0, n=1024)  # bin 128 at fs=1000, n=1024
+        X = np.abs(np.asarray(FFT().forward_real(x)))
+        assert np.argmax(X[1:]) + 1 == 128
+
+    def test_2d(self):
+        x = np.random.default_rng(1).standard_normal((32, 32)).astype(np.float32)
+        f = FFT()
+        np.testing.assert_allclose(
+            np.asarray(f.inverse2d(f.forward2d(x))).real, x, atol=1e-4)
+
+
+class TestSpectral:
+    def test_psd_peak_location(self):
+        f, p = compute_psd(tone(100.0), fs=FS, nperseg=512)
+        f, p = np.asarray(f), np.asarray(p)
+        assert abs(f[np.argmax(p)] - 100.0) < 3.0
+
+    def test_psd_batched(self):
+        x = np.stack([tone(50.0), tone(200.0)])
+        f, p = compute_psd(x, fs=FS, nperseg=512)
+        p = np.asarray(p)
+        assert p.shape[0] == 2
+        assert abs(np.asarray(f)[p[0].argmax()] - 50.0) < 3.0
+        assert abs(np.asarray(f)[p[1].argmax()] - 200.0) < 3.0
+
+    def test_coherence_identical_vs_noise(self):
+        rng = np.random.default_rng(2)
+        x = tone(80.0) + 0.1 * rng.standard_normal(4096).astype(np.float32)
+        f, coh = compute_coherence(x, x, fs=FS, nperseg=512)
+        assert float(np.asarray(coh).mean()) > 0.99
+        y = rng.standard_normal(4096).astype(np.float32)
+        f, coh2 = compute_coherence(x, y, fs=FS, nperseg=512)
+        assert float(np.asarray(coh2).mean()) < 0.5
+
+    def test_spectrogram_chirp_ridge_moves(self):
+        n = 8192
+        t = np.arange(n) / FS
+        x = np.sin(2 * np.pi * (50 + 30 * t) * t).astype(np.float32)
+        f, tt, S = compute_spectrogram(x, fs=FS, nperseg=256)
+        S = np.asarray(S)
+        ridge = np.asarray(f)[S.argmax(axis=0)]
+        assert ridge[-1] > ridge[0] + 20.0  # frequency rises
+
+    def test_detect_peaks_two_tones(self):
+        x = tone(100.0) + 0.5 * tone(333.0)
+        f, p = compute_psd(x, fs=FS, nperseg=1024)
+        idx, _ = detect_peaks(np.asarray(p), threshold_db=-30.0,
+                              min_distance=5)
+        freqs = np.asarray(f)[idx]
+        assert any(abs(freqs - 100.0) < 3) and any(abs(freqs - 333.0) < 3)
+
+    def test_analyzer_facade(self):
+        sa = SpectralAnalyzer(fs=FS, nperseg=512)
+        pf, pv = sa.find_peaks(tone(100.0))
+        assert any(abs(pf - 100.0) < 3)
+
+
+class TestFIR:
+    def test_lowpass_separates_tones(self):
+        x = tone(50.0) + tone(400.0)
+        filt = FIRFilter(num_taps=101, cutoff=0.3, filter_type="lowpass")
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 40, 60) > 100 * band_power(y, 390, 410)
+
+    def test_highpass(self):
+        x = tone(50.0) + tone(400.0)
+        filt = FIRFilter(num_taps=101, cutoff=0.5, filter_type="highpass")
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 390, 410) > 100 * band_power(y, 40, 60)
+
+    def test_bandpass(self):
+        x = tone(50.0) + tone(200.0) + tone(400.0)
+        filt = FIRFilter(num_taps=201, cutoff=(0.3, 0.5),
+                         filter_type="bandpass")
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 190, 210) > 30 * band_power(y, 40, 60)
+        assert band_power(y, 190, 210) > 30 * band_power(y, 390, 410)
+
+    def test_batched_matches_single(self):
+        x = np.stack([tone(50.0), tone(120.0)])
+        filt = FIRFilter(num_taps=51, cutoff=0.3)
+        yb = np.asarray(filt.apply(x))
+        y0 = np.asarray(filt.apply(x[0]))
+        np.testing.assert_allclose(yb[0], y0, atol=1e-5)
+
+    def test_causal_matches_numpy_reference(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(256).astype(np.float32)
+        taps = rng.standard_normal(15).astype(np.float32)
+        y = np.asarray(FIRFilter(taps).apply(x))
+        ref = np.convolve(x, taps)[:256]
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+class TestIIR:
+    def test_butterworth_lowpass(self):
+        x = tone(30.0) + tone(400.0)
+        filt = IIRFilter(design="butterworth", order=4, cutoff=0.2)
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 20, 40) > 100 * band_power(y, 390, 410)
+
+    def test_butterworth_highpass(self):
+        x = tone(30.0) + tone(400.0)
+        filt = IIRFilter(design="butterworth", order=4, cutoff=0.5,
+                         btype="highpass")
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 390, 410) > 50 * band_power(y, 20, 40)
+
+    def test_chebyshev_lowpass(self):
+        x = tone(30.0) + tone(400.0)
+        filt = IIRFilter(design="chebyshev1", order=4, cutoff=0.2,
+                         ripple_db=1.0)
+        y = np.asarray(filt.apply(x))
+        assert band_power(y, 20, 40) > 100 * band_power(y, 390, 410)
+
+    def test_bessel_runs(self):
+        filt = IIRFilter(design="bessel", order=4, cutoff=0.3)
+        y = np.asarray(filt.apply(tone(30.0)))
+        assert np.all(np.isfinite(y))
+
+    def test_dc_gain_unity_lowpass(self):
+        filt = IIRFilter(design="butterworth", order=4, cutoff=0.25)
+        w, H = filt.frequency_response()
+        assert abs(abs(H[0]) - 1.0) < 0.05
+
+    def test_sos_apply_matches_reference_biquad(self):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal(128).astype(np.float32)
+        sos = np.array([[0.2, 0.3, 0.1, 1.0, -0.5, 0.2]], np.float32)
+        y = np.asarray(IIRFilter(sos).apply(x))
+        # direct difference-equation reference
+        ref = np.zeros(128)
+        for i in range(128):
+            ref[i] = (0.2 * x[i] + 0.3 * (x[i - 1] if i > 0 else 0)
+                      + 0.1 * (x[i - 2] if i > 1 else 0)
+                      + 0.5 * (ref[i - 1] if i > 0 else 0)
+                      - 0.2 * (ref[i - 2] if i > 1 else 0))
+        np.testing.assert_allclose(y, ref, atol=1e-4)
+
+
+class TestAdaptive:
+    @pytest.mark.parametrize("method", ["lms", "nlms", "rls"])
+    def test_system_identification(self, method):
+        """Adaptive filter must identify an unknown FIR system
+        (ref adaptive-filter use case, digital_filtering.h:335)."""
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(4000).astype(np.float32)
+        h_true = np.array([0.5, -0.3, 0.2, 0.1], np.float32)
+        d = np.convolve(x, h_true)[:4000].astype(np.float32)
+        mu = 0.05 if method == "lms" else 0.5
+        af = AdaptiveFilter(num_taps=4, method=method, mu=mu)
+        y, e, w = af.apply(x, d)
+        # converged: tail error far below signal power
+        tail = np.asarray(e)[-500:]
+        assert float((tail ** 2).mean()) < 1e-2
+        np.testing.assert_allclose(np.asarray(w), h_true, atol=0.05)
+
+
+class TestMultirate:
+    def test_decimate_preserves_low_tone(self):
+        x = tone(20.0, n=4096)
+        y = np.asarray(MultirateFilter().decimate(x, 4))
+        assert y.shape[-1] == 1024
+        # the 20 Hz tone at fs/4=250 Hz still dominates
+        f, p = compute_psd(y, fs=FS / 4, nperseg=256)
+        assert abs(np.asarray(f)[np.asarray(p).argmax()] - 20.0) < 5.0
+
+    def test_interpolate_shape_and_tone(self):
+        x = tone(20.0, n=1024)
+        y = np.asarray(MultirateFilter().interpolate(x, 4))
+        assert y.shape[-1] == 4096
+        f, p = compute_psd(y, fs=FS * 4, nperseg=1024)
+        assert abs(np.asarray(f)[np.asarray(p).argmax()] - 20.0) < 5.0
+
+    def test_resample_rational(self):
+        x = tone(20.0, n=1000)
+        y = np.asarray(MultirateFilter().resample(x, 3, 2))
+        assert y.shape[-1] == 1500
+
+
+class TestSTFT:
+    def test_roundtrip(self):
+        x = tone(100.0, n=2048) + 0.3 * tone(250.0, n=2048)
+        st = STFT(n_fft=256, hop=64)
+        y = np.asarray(st.inverse(st.forward(x), length=2048))
+        # edges lose energy; compare the interior
+        np.testing.assert_allclose(y[256:-256], x[256:-256], atol=1e-3)
+
+
+class TestCWT:
+    def test_morlet_scale_of_tone(self):
+        x = tone(50.0, n=2048)
+        cwt = CWT("morlet")
+        scales = np.arange(2, 40, dtype=np.float32)
+        C = np.abs(np.asarray(cwt.forward(x, scales)))
+        power = (C ** 2).mean(axis=1)
+        best = scales[power.argmax()]
+        f_est = cwt.scale_to_frequency(best, fs=FS)
+        assert abs(f_est - 50.0) < 10.0
+
+
+class TestDWT:
+    @pytest.mark.parametrize("wavelet", ["haar", "db2", "db4"])
+    def test_perfect_reconstruction(self, wavelet):
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal(256).astype(np.float32)
+        dwt = DWT(wavelet)
+        coeffs = dwt.decompose(x, level=3)
+        y = np.asarray(dwt.reconstruct(coeffs))[:256]
+        np.testing.assert_allclose(y, x, atol=1e-3)
+
+    def test_denoise_reduces_error(self):
+        rng = np.random.default_rng(7)
+        clean = tone(10.0, n=1024)
+        noisy = clean + 0.5 * rng.standard_normal(1024).astype(np.float32)
+        den = np.asarray(DWT("db4").denoise(noisy, level=4))
+        assert ((den - clean) ** 2).mean() < ((noisy - clean) ** 2).mean() * 0.5
+
+
+class TestWignerVille:
+    def test_tone_concentration(self):
+        x = tone(100.0, n=256)
+        wv = WignerVille()
+        W = np.asarray(wv.forward(x))
+        freqs = wv.frequencies(W.shape[0], fs=FS)
+        ridge = freqs[np.abs(W).mean(axis=1).argmax()]
+        assert abs(ridge - 100.0) < 15.0
+
+
+class TestEMD:
+    def test_separates_two_scales(self):
+        x = tone(5.0, n=1024) + 0.5 * tone(80.0, n=1024)
+        imfs, residue = EMD(max_imfs=4).decompose(x)
+        assert len(imfs) >= 2
+        # first IMF carries the fast oscillation
+        f, p = compute_psd(imfs[0].astype(np.float32), fs=FS, nperseg=512)
+        assert abs(np.asarray(f)[np.asarray(p).argmax()] - 80.0) < 10
+
+
+class TestMel:
+    def test_shapes(self):
+        x = tone(440.0, n=4096, fs=16000.0)
+        M = np.asarray(mel_spectrogram(x, fs=16000.0, n_fft=512, n_mels=40))
+        assert M.shape[0] == 40
+        C = np.asarray(mfcc(x, fs=16000.0, n_fft=512, n_mfcc=13))
+        assert C.shape[0] == 13
+        assert np.all(np.isfinite(C))
