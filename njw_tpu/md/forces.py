@@ -1,0 +1,136 @@
+"""MD forces: LJ + Coulomb nonbonded (masked all-pairs, minimum image),
+harmonic bonds, harmonic angles, periodic dihedrals.
+
+ref kernels: lj_force_kernel / tiled_force_kernel (cuda_kernels.cu:55-170),
+bond_force_kernel (:270). Energies via the same pass (returned together so
+XLA computes forces+energy in one fused sweep).
+
+Forces are the NEGATIVE gradient of the potential; bonded terms are
+implemented with jax.grad over the potential — exact, and the gradient
+code is generated instead of hand-derived (the TPU-native answer to pages
+of hand-written force algebra).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from njw_tpu.md.system import LJParams, MDState, Topology
+
+COULOMB_K = 332.06  # kcal mol^-1 A e^-2 style constant
+
+
+def _min_image(d, box):
+    return d - box * jnp.round(d / box)
+
+
+def nonbonded_energy(pos, charge, type_id, box, lj: LJParams,
+                     cutoff: float, exclusion=None):
+    """Total LJ + Coulomb energy with minimum-image all-pairs + cutoff.
+
+    exclusion: optional (N, N) bool — True pairs are skipped (bonded 1-2 /
+    1-3 exclusions, precomputed statically)."""
+    n = pos.shape[0]
+    d = _min_image(pos[None, :, :] - pos[:, None, :], box)
+    r2 = jnp.sum(d * d, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    mask = ~eye & (r2 < cutoff * cutoff)
+    if exclusion is not None:
+        mask = mask & ~exclusion
+    r2 = jnp.where(mask, r2, 1.0)  # safe value where masked
+
+    eps_i = lj.epsilon[type_id]
+    sig_i = lj.sigma[type_id]
+    eps = jnp.sqrt(eps_i[:, None] * eps_i[None, :])       # Lorentz-Berthelot
+    sig = 0.5 * (sig_i[:, None] + sig_i[None, :])
+    s2 = (sig * sig) / r2
+    s6 = s2 * s2 * s2
+    e_lj = 4.0 * eps * (s6 * s6 - s6)
+
+    inv_r = jax.lax.rsqrt(r2)
+    e_coul = COULOMB_K * charge[:, None] * charge[None, :] * inv_r
+
+    e_pair = jnp.where(mask, e_lj + e_coul, 0.0)
+    return 0.5 * jnp.sum(e_pair)
+
+
+def bonded_energy(pos, box, topo: Topology):
+    """Harmonic bonds + angles, periodic dihedrals
+    (ref: molecular_system.hpp bonds/angles/dihedrals)."""
+    e = jnp.float32(0.0)
+    if topo.bonds is not None:
+        ri = pos[topo.bonds[:, 0]]
+        rj = pos[topo.bonds[:, 1]]
+        d = _min_image(rj - ri, box)
+        r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)
+        e = e + jnp.sum(0.5 * topo.bond_k * (r - topo.bond_r0) ** 2)
+    if topo.angles is not None:
+        ri = pos[topo.angles[:, 0]]
+        rj = pos[topo.angles[:, 1]]
+        rk = pos[topo.angles[:, 2]]
+        a = _min_image(ri - rj, box)
+        b = _min_image(rk - rj, box)
+        cosang = jnp.sum(a * b, axis=-1) * jax.lax.rsqrt(
+            jnp.sum(a * a, axis=-1) * jnp.sum(b * b, axis=-1) + 1e-12)
+        theta = jnp.arccos(jnp.clip(cosang, -1 + 1e-6, 1 - 1e-6))
+        e = e + jnp.sum(0.5 * topo.angle_k * (theta - topo.angle_theta0) ** 2)
+    if topo.dihedrals is not None:
+        ri, rj, rk, rl = (pos[topo.dihedrals[:, m]] for m in range(4))
+        b1 = _min_image(rj - ri, box)
+        b2 = _min_image(rk - rj, box)
+        b3 = _min_image(rl - rk, box)
+        n1 = jnp.cross(b1, b2)
+        n2 = jnp.cross(b2, b3)
+        m1 = jnp.cross(n1, b2 * jax.lax.rsqrt(
+            jnp.sum(b2 * b2, axis=-1, keepdims=True) + 1e-12))
+        x = jnp.sum(n1 * n2, axis=-1)
+        y = jnp.sum(m1 * n2, axis=-1)
+        phi = jnp.arctan2(y, x)
+        e = e + jnp.sum(topo.dihedral_k
+                        * (1.0 + jnp.cos(topo.dihedral_n * phi
+                                         - topo.dihedral_phase)))
+    return e
+
+
+def _bonded_exclusion(n: int, topo: Topology):
+    """(N,N) bool mask of 1-2 and 1-3 bonded pairs to exclude from
+    nonbonded interactions (static, computed once)."""
+    import numpy as np
+
+    mask = np.zeros((n, n), dtype=bool)
+    if topo.bonds is not None:
+        b = np.asarray(topo.bonds)
+        mask[b[:, 0], b[:, 1]] = mask[b[:, 1], b[:, 0]] = True
+    if topo.angles is not None:
+        a = np.asarray(topo.angles)
+        mask[a[:, 0], a[:, 2]] = mask[a[:, 2], a[:, 0]] = True
+    return jnp.asarray(mask)
+
+
+def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int):
+    """Returns force_fn(state) -> (forces (N,3), energies dict). Forces are
+    exact negative gradients of the total potential via jax.grad."""
+    has_bonded = topo.bonds is not None or topo.angles is not None \
+        or topo.dihedrals is not None
+    exclusion = _bonded_exclusion(n, topo) if has_bonded else None
+
+    def potential(pos, charge, type_id, box):
+        e_nb = nonbonded_energy(pos, charge, type_id, box, lj, cutoff,
+                                exclusion)
+        e_b = bonded_energy(pos, box, topo) if has_bonded else 0.0
+        return e_nb + e_b, (e_nb, e_b)
+
+    grad_fn = jax.grad(potential, argnums=0, has_aux=True)
+
+    def force_fn(s: MDState):
+        g, (e_nb, e_b) = grad_fn(s.pos, s.charge, s.type_id, s.box)
+        return -g, {"potential": e_nb + e_b, "nonbonded": e_nb, "bonded": e_b}
+
+    return force_fn
+
+
+def forces_and_energy(s: MDState, topo: Topology, lj: LJParams,
+                      cutoff: float = 2.5):
+    return make_force_fn(topo, lj, cutoff, s.n)(s)

@@ -1,0 +1,119 @@
+"""Image registration: differentiable warping + metric-driven optimization.
+
+ref: ImageRegistration (medical_imaging.hpp:923-996, RegistrationMethod
+:971); warping kernels x4 (registration_kernels.cu:50-580); mutual-
+information kernel (:685). TPU-native design: the warp is differentiable
+bilinear resampling, the similarity metric (MSE or histogram-free MI
+approximation) is a jnp scalar, and registration is gradient descent with
+jax.grad through the whole pipeline — replacing hand-written parameter
+search.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _affine_grid(h, w, params):
+    """params = [ty, tx, theta, sy, sx] -> sample coords (2, H, W)."""
+    ty, tx, theta, sy, sx = (params[i] for i in range(5))
+    yy, xx = jnp.mgrid[0:h, 0:w].astype(jnp.float32)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    y = (yy - cy) / jnp.maximum(sy, 1e-3)
+    x = (xx - cx) / jnp.maximum(sx, 1e-3)
+    ct, st = jnp.cos(-theta), jnp.sin(-theta)
+    ys = y * ct - x * st + cy - ty
+    xs = y * st + x * ct + cx - tx
+    return ys, xs
+
+
+def _bilinear(img, ys, xs):
+    h, w = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    dy, dx = ys - y0, xs - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def at(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        return jnp.where(inside,
+                         img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)],
+                         0.0)
+
+    return ((1 - dy) * (1 - dx) * at(y0, x0)
+            + (1 - dy) * dx * at(y0, x0 + 1)
+            + dy * (1 - dx) * at(y0 + 1, x0)
+            + dy * dx * at(y0 + 1, x0 + 1))
+
+
+@jax.jit
+def warp_image(image, params):
+    """Rigid/affine warp (ref: warping kernels :50-580).
+    params = [ty, tx, theta, sy, sx]."""
+    img = jnp.asarray(image, jnp.float32)
+    ys, xs = _affine_grid(*img.shape, jnp.asarray(params, jnp.float32))
+    return _bilinear(img, ys, xs)
+
+
+@jax.jit
+def mse_metric(a, b):
+    return jnp.mean((jnp.asarray(a, jnp.float32)
+                     - jnp.asarray(b, jnp.float32)) ** 2)
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def mutual_information(a, b, n_bins: int = 32, sigma: float = 0.5):
+    """Differentiable MI via Parzen (gaussian) soft histograms
+    (ref: mutual-information kernel :685)."""
+    a = jnp.asarray(a, jnp.float32).ravel()
+    b = jnp.asarray(b, jnp.float32).ravel()
+    a = (a - a.min()) / jnp.maximum(a.max() - a.min(), 1e-9)
+    b = (b - b.min()) / jnp.maximum(b.max() - b.min(), 1e-9)
+    centers = jnp.linspace(0.0, 1.0, n_bins)
+    bw = sigma / n_bins
+    wa = jnp.exp(-0.5 * ((a[:, None] - centers[None, :]) / bw) ** 2)
+    wb = jnp.exp(-0.5 * ((b[:, None] - centers[None, :]) / bw) ** 2)
+    wa = wa / jnp.maximum(wa.sum(axis=1, keepdims=True), 1e-12)
+    wb = wb / jnp.maximum(wb.sum(axis=1, keepdims=True), 1e-12)
+    pab = (wa.T @ wb) / a.shape[0]
+    pa = pab.sum(axis=1)
+    pb = pab.sum(axis=0)
+    eps = 1e-12
+    return jnp.sum(pab * (jnp.log(pab + eps)
+                          - jnp.log(pa[:, None] * pb[None, :] + eps)))
+
+
+def register_images(fixed, moving, *, metric: str = "mse",
+                    method: str = "rigid", n_iterations: int = 200,
+                    learning_rate: float = 0.05):
+    """Gradient-descent registration. Returns (params, warped, history).
+
+    method: 'rigid' (ty, tx, theta) or 'affine' (adds scales).
+    """
+    fixed = jnp.asarray(fixed, jnp.float32)
+    moving = jnp.asarray(moving, jnp.float32)
+
+    def loss(params):
+        warped = warp_image(moving, params)
+        if metric == "mse":
+            return mse_metric(fixed, warped)
+        if metric in ("mi", "mutual_information"):
+            return -mutual_information(fixed, warped)
+        raise ValueError(f"unknown metric {metric!r}")
+
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    params = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0], jnp.float32)
+    # per-parameter step scaling: translations in px, rotation in rad
+    scale = jnp.asarray([1.0, 1.0, 0.02, 0.0, 0.0], jnp.float32)
+    if method == "affine":
+        scale = scale.at[3:].set(0.005)
+    history = []
+    for _ in range(n_iterations):
+        val, g = grad_fn(params)
+        params = params - learning_rate * scale * g
+        history.append(float(val))
+    return np.asarray(params), np.asarray(warp_image(moving, params)), history

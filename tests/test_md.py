@@ -1,0 +1,169 @@
+"""Molecular dynamics tests (coverage mirrors ref cpp/test atom/system
+tests + MDSimulation Python API)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from njw_tpu.md import (
+    LJParams, MDSimulation, MDState, Topology, create_lj_fluid,
+    create_water_box, forces_and_energy, kinetic_energy, load_from_pdb,
+    temperature,
+)
+
+
+def lj_dimer(r):
+    """Two LJ particles at distance r along x in a big box."""
+    return MDState(
+        pos=jnp.asarray([[0.0, 0, 0], [r, 0, 0]], jnp.float32) + 10.0,
+        vel=jnp.zeros((2, 3), jnp.float32),
+        mass=jnp.ones(2, jnp.float32),
+        charge=jnp.zeros(2, jnp.float32),
+        type_id=jnp.zeros(2, jnp.int32),
+        box=jnp.full(3, 50.0, jnp.float32),
+    )
+
+
+class TestForces:
+    def test_lj_minimum_at_r_min(self):
+        """Force vanishes at r = 2^(1/6) sigma, attractive beyond,
+        repulsive inside."""
+        lj = LJParams(epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+        r_min = 2.0 ** (1 / 6)
+        f_at_min, _ = forces_and_energy(lj_dimer(r_min), Topology(), lj)
+        assert abs(float(f_at_min[0, 0])) < 1e-3
+        f_close, _ = forces_and_energy(lj_dimer(0.9), Topology(), lj)
+        assert float(f_close[0, 0]) < 0  # pushed apart (particle 0 leftward)
+        f_far, _ = forces_and_energy(lj_dimer(1.5), Topology(), lj)
+        assert float(f_far[0, 0]) > 0   # pulled together
+
+    def test_lj_energy_at_minimum(self):
+        lj = LJParams(epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+        _, e = forces_and_energy(lj_dimer(2.0 ** (1 / 6)), Topology(), lj)
+        assert float(e["potential"]) == pytest.approx(-1.0, abs=1e-3)
+
+    def test_minimum_image_convention(self):
+        """Particles near opposite box faces interact across the boundary."""
+        lj = LJParams(epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+        s = MDState(
+            pos=jnp.asarray([[0.5, 5, 5], [9.5, 5, 5]], jnp.float32),
+            vel=jnp.zeros((2, 3), jnp.float32),
+            mass=jnp.ones(2, jnp.float32),
+            charge=jnp.zeros(2, jnp.float32),
+            type_id=jnp.zeros(2, jnp.int32),
+            box=jnp.full(3, 10.0, jnp.float32),
+        )
+        _, e = forces_and_energy(s, Topology(), lj)
+        # distance across the boundary is 1.0 -> energy = 0 at sigma
+        assert abs(float(e["potential"])) < 0.1
+
+    def test_newtons_third_law(self):
+        state, topo, lj = create_lj_fluid(64, seed=1)
+        f, _ = forces_and_energy(state, topo, lj)
+        np.testing.assert_allclose(np.asarray(f).sum(axis=0), 0.0, atol=1e-2)
+
+    def test_bond_force_restores(self):
+        topo = Topology(
+            bonds=jnp.asarray([[0, 1]], jnp.int32),
+            bond_k=jnp.asarray([100.0], jnp.float32),
+            bond_r0=jnp.asarray([1.0], jnp.float32),
+        )
+        lj = LJParams(epsilon=jnp.asarray([0.0]), sigma=jnp.asarray([1.0]))
+        f, e = forces_and_energy(lj_dimer(1.5), topo, lj)
+        assert float(e["bonded"]) == pytest.approx(0.5 * 100 * 0.25, rel=1e-3)
+        assert float(f[0, 0]) > 0  # pulled toward each other
+
+
+class TestSystems:
+    def test_lj_fluid_density(self):
+        state, _, _ = create_lj_fluid(125, density=0.8)
+        vol = float(np.prod(np.asarray(state.box)))
+        assert 125 / vol == pytest.approx(0.8, rel=1e-3)
+
+    def test_water_box_topology(self):
+        state, topo, lj = create_water_box(8)
+        assert state.n == 24
+        assert topo.bonds.shape == (16, 2)
+        assert topo.angles.shape == (8, 3)
+        # net charge zero
+        assert abs(float(jnp.sum(state.charge))) < 1e-4
+
+    def test_load_pdb(self, tmp_path):
+        pdb = tmp_path / "x.pdb"
+        pdb.write_text(
+            "ATOM      1  O   HOH A   1      10.000  10.000  10.000"
+            "  1.00  0.00           O\n"
+            "ATOM      2  H1  HOH A   1      10.960  10.000  10.000"
+            "  1.00  0.00           H\n")
+        state, topo, lj = load_from_pdb(str(pdb))
+        assert state.n == 2
+        assert float(state.mass[0]) == pytest.approx(15.999)
+
+    def test_maxwell_velocities_temperature(self):
+        state, _, _ = create_lj_fluid(512, T0=1.5, seed=3)
+        assert float(temperature(state)) == pytest.approx(1.5, rel=0.15)
+
+
+class TestDynamics:
+    @pytest.mark.parametrize("integrator", ["velocity_verlet", "leapfrog",
+                                            "beeman"])
+    def test_energy_conservation_nve(self, integrator):
+        state, topo, lj = create_lj_fluid(64, density=0.5, T0=0.5, seed=4)
+        sim = MDSimulation(state, topo, lj, dt=0.002, integrator=integrator)
+        e0 = sim.energies()["total"]
+        sim.step(200)
+        e1 = sim.energies()["total"]
+        assert np.isfinite(e1)
+        assert abs(e1 - e0) / max(abs(e0), 1e-6) < 0.05
+
+    @pytest.mark.parametrize("thermostat", ["berendsen", "andersen",
+                                            "nose_hoover"])
+    def test_thermostat_drives_temperature(self, thermostat):
+        state, topo, lj = create_lj_fluid(125, density=0.6, T0=0.3, seed=5)
+        sim = MDSimulation(state, topo, lj, dt=0.002, thermostat=thermostat,
+                           T0=1.2, tau=0.1, collision_rate=5.0)
+        sim.step(1500)
+        T = sim.temperature()
+        assert 0.7 < T < 2.0  # moved from 0.3 toward the 1.2 target
+
+    def test_water_box_runs_stable(self):
+        state, topo, lj = create_water_box(8, T0=0.5)
+        sim = MDSimulation(state, topo, lj, dt=0.0005, cutoff=6.0,
+                           thermostat="berendsen", T0=0.5)
+        sim.step(100)
+        assert np.all(np.isfinite(np.asarray(sim.state.pos)))
+        e = sim.energies()
+        assert np.isfinite(e["total"]) and e["bonded"] >= 0
+
+
+class TestSimulationAPI:
+    def test_run_with_trajectory(self):
+        state, topo, lj = create_lj_fluid(27, seed=6)
+        sim = MDSimulation(state, topo, lj, dt=0.002)
+        sim.run(30, record_trajectory=True, callback_interval=10)
+        assert len(sim.trajectory) == 3
+
+    def test_save_state_and_trajectory(self, tmp_path):
+        state, topo, lj = create_lj_fluid(27, seed=7)
+        sim = MDSimulation(state, topo, lj, dt=0.002)
+        sim.run(20, record_trajectory=True, callback_interval=10)
+        p1 = sim.save_state(str(tmp_path / "state.json"))
+        p2 = sim.save_trajectory(str(tmp_path / "traj.npz"))
+        import json
+
+        d = json.load(open(p1))
+        assert d["step_count"] == 20
+        with np.load(p2) as t:
+            assert len(t.files) == 2
+
+    def test_performance_metrics(self):
+        state, topo, lj = create_lj_fluid(27)
+        sim = MDSimulation(state, topo, lj)
+        sim.step(5)
+        m = sim.performance_metrics()
+        assert m["num_steps"] == 5 and m["atom_steps_per_second"] > 0
+
+    def test_unknown_integrator_raises(self):
+        state, topo, lj = create_lj_fluid(27)
+        with pytest.raises(ValueError, match="unknown integrator"):
+            MDSimulation(state, topo, lj, integrator="rk9")
