@@ -1,0 +1,228 @@
+"""Geo-financial integration tests (mirrors ref
+tests/integrations/geo_financial/ coverage: risk factors, aggregation,
+climate risk, scenarios, multi-region, streams)."""
+import time
+
+import numpy as np
+import pytest
+
+from njw_tpu.geofinancial import (
+    AggregationMethod, ClimateHazardType, ClimateRiskAssessor,
+    ClimateScenario, DataStreamSource, GeospatialEventStream,
+    GeospatialPortfolio, GeospatialRiskModel, MarketDataStream,
+    MultiRegionRiskModel, RegionDefinition, RegionalRiskComparator,
+    RiskAggregator, RiskSurfaceGenerator, Scenario, ScenarioAnalyzer,
+    ScenarioSet, SpatialRiskFactor, TPUOptimizer, TimeHorizon,
+    create_climate_scenarios, create_economic_scenarios,
+    create_elevation_risk_factor, create_flood_risk_factor,
+    create_sea_level_rise_factor, create_slope_risk_factor,
+    create_stress_scenarios,
+)
+from njw_tpu.geofinancial.multiregion import make_region_grid
+
+
+def dem64():
+    yy, xx = np.mgrid[0:64, 0:64] / 64
+    return (30 * yy + 5 * np.sin(6 * xx)).astype(np.float32)  # slopes up in y
+
+
+def portfolio():
+    """Assets: low-elevation (risky) at small y, high ground at large y."""
+    p = GeospatialPortfolio()
+    p.add_asset("low1", "Low 1", 100.0, 32.0, 5.0,
+                {"asset_class": "real_estate", "carbon_intensity": 0.8})
+    p.add_asset("low2", "Low 2", 200.0, 10.0, 8.0,
+                {"asset_class": "coastal", "carbon_intensity": 0.2})
+    p.add_asset("high1", "High 1", 150.0, 40.0, 60.0,
+                {"asset_class": "default", "carbon_intensity": 0.1})
+    return p
+
+
+class TestRiskFactors:
+    def test_elevation_factor_orders_assets(self):
+        rf = create_elevation_risk_factor(dem64())
+        model = GeospatialRiskModel([rf])
+        risks = portfolio().assess_risk(model)
+        assert risks["low1"] > risks["high1"]
+        assert 0.0 <= min(risks.values()) and max(risks.values()) <= 1.0
+
+    def test_slope_and_flood_factors_build(self):
+        for rf in (create_slope_risk_factor(dem64()),
+                   create_flood_risk_factor(dem64(), n_iterations=32)):
+            assert rf.risk_data.shape == (64, 64)
+            assert 0.0 <= rf.risk_data.min() and rf.risk_data.max() <= 1.0
+
+    def test_weighted_combination(self):
+        flat = SpatialRiskFactor("a", 1.0, np.full((8, 8), 0.2))
+        hot = SpatialRiskFactor("b", 3.0, np.full((8, 8), 1.0))
+        model = GeospatialRiskModel([flat, hot])
+        r = model.assess_risk(np.asarray([4.0]), np.asarray([4.0]))
+        assert r[0] == pytest.approx((0.2 + 3.0) / 4.0, abs=1e-5)
+
+    def test_value_at_risk_and_expected_loss(self):
+        rf = create_elevation_risk_factor(dem64())
+        model = GeospatialRiskModel([rf])
+        p = portfolio()
+        var = p.value_at_risk(model, threshold=0.5)
+        el = p.expected_loss(model)
+        assert 0 <= var <= p.total_value
+        assert 0 <= el <= p.total_value
+
+
+class TestAggregation:
+    RISKS = np.asarray([[0.2, 0.8], [0.4, 0.6], [0.0, 1.0]])
+
+    @pytest.mark.parametrize("method", list(AggregationMethod))
+    def test_methods_bounded(self, method):
+        agg = RiskAggregator(method)
+        out = agg.aggregate(self.RISKS)
+        assert out.shape == (2,)
+        assert (out >= 0).all() and (out <= 1).all()
+
+    def test_maximum_dominates_average(self):
+        avg = RiskAggregator(AggregationMethod.WEIGHTED_AVERAGE).aggregate(
+            self.RISKS)
+        mx = RiskAggregator(AggregationMethod.MAXIMUM).aggregate(self.RISKS)
+        assert (mx >= avg - 1e-12).all()
+
+    def test_product_method(self):
+        out = RiskAggregator(AggregationMethod.PRODUCT).aggregate(
+            np.asarray([[0.5], [0.5]]))
+        assert out[0] == pytest.approx(0.75)
+
+    def test_correlation_matrix(self):
+        C = RiskAggregator.correlation_matrix(np.random.default_rng(0)
+                                              .uniform(size=(3, 50)))
+        assert C.shape == (3, 3)
+        np.testing.assert_allclose(np.diag(C), 1.0)
+
+    def test_surface_interpolates_toward_points(self):
+        gen = RiskSurfaceGenerator()
+        surf = gen.generate([10.0, 50.0], [10.0, 50.0], [0.0, 1.0],
+                            (32, 32), (0, 64, 0, 64))
+        # near the risky point the surface is high, near the safe one low
+        assert surf[25, 25] > 0.8 and surf[5, 5] < 0.2
+
+
+class TestClimate:
+    def _assessor(self):
+        a = ClimateRiskAssessor(ClimateScenario.PESSIMISTIC,
+                                TimeHorizon.LONG)
+        a.add_hazard(ClimateHazardType.SEA_LEVEL_RISE,
+                     create_sea_level_rise_factor(dem64(), rise_m=2.0))
+        return a
+
+    def test_physical_risk_scaled_by_scenario(self):
+        p = portfolio()
+        pess = self._assessor().physical_risk(p)
+        opt = ClimateRiskAssessor(ClimateScenario.OPTIMISTIC,
+                                  TimeHorizon.SHORT)
+        opt.add_hazard(ClimateHazardType.SEA_LEVEL_RISE,
+                       create_sea_level_rise_factor(dem64(), rise_m=2.0))
+        opti = opt.physical_risk(p)
+        assert pess["low1"] >= opti["low1"]
+
+    def test_transition_risk_uses_carbon_intensity(self):
+        t = self._assessor().transition_risk(portfolio())
+        assert t["low1"] > t["high1"]  # carbon 0.8 vs 0.1
+
+    def test_combined_and_expected_loss(self):
+        a = self._assessor()
+        p = portfolio()
+        combined = a.combined_risk(p)
+        assert set(combined) == {"low1", "low2", "high1"}
+        assert 0 <= a.expected_portfolio_loss(p) <= p.total_value
+
+
+class TestScenarios:
+    def _analyzer(self):
+        model = GeospatialRiskModel([create_elevation_risk_factor(dem64())])
+        return ScenarioAnalyzer(portfolio(), model)
+
+    def test_multiplier_increases_loss(self):
+        an = self._analyzer()
+        base = an.evaluate(Scenario("base"))
+        hot = an.evaluate(Scenario("hot",
+                                   risk_multipliers={"elevation_risk": 2.0}))
+        assert hot["total_loss"] >= base["total_loss"]
+
+    def test_value_shock_applies_to_class(self):
+        an = self._analyzer()
+        shocked = an.evaluate(Scenario("re", value_shocks={"real_estate": 0.5}))
+        base = an.evaluate(Scenario("base"))
+        assert shocked["total_loss"] > base["total_loss"]
+
+    def test_factory_sets_and_var(self):
+        an = self._analyzer()
+        for sset in (create_climate_scenarios(), create_economic_scenarios(),
+                     create_stress_scenarios()):
+            res = an.evaluate_set(sset)
+            assert res["expected_loss"] >= 0
+            assert res["worst_loss"] >= res["expected_loss"] - 1e-9
+        v = an.var(create_economic_scenarios(), 0.95)
+        assert v >= 0
+
+
+class TestMultiRegion:
+    def test_assess_and_rank(self):
+        model = GeospatialRiskModel([create_elevation_risk_factor(dem64())])
+        mr = MultiRegionRiskModel()
+        south = RegionDefinition("south", 0, 64, 0, 32)
+        north = RegionDefinition("north", 0, 64, 32, 64)
+        mr.add_region(south, model).add_region(north, model)
+        summary = mr.assess(portfolio())
+        assert summary["south"]["n_assets"] == 2
+        assert summary["north"]["n_assets"] == 1
+        ranked = RegionalRiskComparator(mr).rank(portfolio())
+        assert ranked[0][0] == "south"  # low ground = high risk
+
+    def test_region_grid(self):
+        grid = make_region_grid(0, 100, 0, 100, 2, 2)
+        assert len(grid) == 4
+        assert grid[0].contains(10, 10)
+
+
+class TestRealtime:
+    def test_market_stream_delivers_prices(self):
+        got = []
+        stream = MarketDataStream(["AAA", "BBB"], interval_s=0.02)
+        stream.subscribe(lambda p: got.append(p))
+        stream.start()
+        time.sleep(0.15)
+        stream.stop()
+        assert not stream.running
+        assert len(got) >= 2
+        assert set(got[0]["prices"]) == {"AAA", "BBB"}
+
+    def test_event_stream_and_bad_subscriber_isolated(self):
+        got = []
+        stream = GeospatialEventStream(interval_s=0.02, event_rate=2.0)
+        stream.subscribe(lambda p: (_ for _ in ()).throw(RuntimeError()))
+        stream.subscribe(lambda p: got.append(p))
+        stream.start()
+        time.sleep(0.12)
+        stream.stop()
+        assert len(got) >= 2  # bad subscriber did not kill the stream
+        assert all("events" in p for p in got)
+
+
+class TestOptimizer:
+    def test_batch_and_tile_sizes_aligned(self):
+        opt = TPUOptimizer()
+        bs = opt.optimal_batch_size(1024)
+        assert bs % 128 == 0 and bs >= 128
+        assert opt.optimal_tile_size(512 * 512) % 128 == 0
+
+    def test_batched_assessment_matches_direct(self):
+        model = GeospatialRiskModel([create_elevation_risk_factor(dem64())])
+        p = portfolio()
+        direct = p.assess_risk(model)
+        batched = TPUOptimizer().batched_risk_assessment(p, model,
+                                                         batch_size=2)
+        for k in direct:
+            assert batched[k] == pytest.approx(direct[k], abs=1e-6)
+
+    def test_benchmark_metrics(self):
+        model = GeospatialRiskModel([create_elevation_risk_factor(dem64())])
+        m = TPUOptimizer().benchmark(portfolio(), model, n_repeats=1)
+        assert m["assets"] == 3 and m["assets_per_second"] > 0
