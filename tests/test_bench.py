@@ -1,0 +1,117 @@
+"""Benchmark suite + cost-model tests (mirrors ref
+tests/benchmark/test_cost_modeling.py:34-514 pure-logic coverage)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from njw_tpu.bench import (
+    BenchmarkResult, BenchmarkSuite, CloudGPUCostModel, CloudTPUCostModel,
+    ComputeEnvironment, CostModelFactory, GeospatialBenchmark,
+    NBodyBenchmark, OnPremTPUCostModel, SignalBenchmark,
+    SlurmClusterCostModel, WeatherBenchmark, compare_costs, generate_report,
+)
+
+
+class TestCostModels:
+    def test_on_prem_rate_components(self):
+        m = OnPremTPUCostModel(node_cost=3600.0, nodes=1, power_watts=1000.0,
+                               power_cost_per_kwh=0.1,
+                               amortization_months=1.0, utilization=1.0,
+                               maintenance_factor=0.0)
+        # capital: 3600 / (720 h) = 5/h; power: 1 kW * 0.1 = 0.1/h
+        assert m.hourly_rate() == pytest.approx(5.1, rel=1e-6)
+
+    def test_cloud_tpu_spot_discount(self):
+        full = CloudTPUCostModel(chips=4, rate_per_chip_hour=1.0)
+        spot = CloudTPUCostModel(chips=4, rate_per_chip_hour=1.0,
+                                 spot_discount=0.6)
+        assert full.hourly_rate() == 4.0
+        assert spot.hourly_rate() == pytest.approx(1.6)
+
+    def test_cost_of_seconds(self):
+        m = CloudGPUCostModel(rate_per_gpu_hour=3.6)
+        c = m.cost_of(1000.0)
+        assert c["execution_cost"] == pytest.approx(1.0)
+        assert c["currency"] == "USD"
+
+    def test_slurm_overhead(self):
+        m = SlurmClusterCostModel(cost_per_node_hour=1.0, nodes=2,
+                                  queue_overhead_factor=1.5)
+        assert m.hourly_rate() == pytest.approx(3.0)
+
+    def test_factory_creates_all(self):
+        for env in CostModelFactory.available():
+            m = CostModelFactory.create(env)
+            assert m.hourly_rate() >= 0
+
+    def test_factory_unknown_raises(self):
+        with pytest.raises(ValueError):
+            CostModelFactory.create("mainframe")
+
+    def test_compare_costs(self):
+        out = compare_costs({
+            ComputeEnvironment.ON_PREM_TPU: 100.0,
+            ComputeEnvironment.CLOUD_TPU: 50.0,
+        })
+        assert out["cheapest"] in ("on_prem_tpu", "cloud_tpu")
+        assert "break_even_hours" in out
+
+
+class TestBenchmarkResult:
+    def test_serialization_roundtrip(self):
+        r = BenchmarkResult("weather", "tpu:v5e", 1.5, 1000.0, "steps/s",
+                            additional_metrics={"grid": 256})
+        back = BenchmarkResult.from_dict(json.loads(json.dumps(r.to_dict())))
+        assert back.workload == "weather"
+        assert back.additional_metrics["grid"] == 256
+
+    def test_cost_attachment(self):
+        r = BenchmarkResult("x", "cpu", 3600.0, 1.0, "u")
+        c = r.calculate_cost_metrics(CloudTPUCostModel(rate_per_chip_hour=2.0))
+        assert c["execution_cost"] == pytest.approx(2.0)
+        assert r.cost_metrics["execution_cost"] == pytest.approx(2.0)
+
+
+class TestSuite:
+    def test_run_small_benchmarks(self, tmp_path):
+        suite = BenchmarkSuite(output_dir=str(tmp_path))
+        r1 = suite.run_benchmark("weather", grid_size=64, num_steps=10)
+        r2 = suite.run_benchmark("nbody", num_particles=128, num_steps=5)
+        assert r1.throughput > 0 and r2.throughput > 0
+        assert r1.workload == "weather"
+        path = suite.save_results()
+        loaded = BenchmarkSuite.load_results(path)
+        assert len(loaded) == 2
+
+    def test_unknown_benchmark_raises(self):
+        with pytest.raises(ValueError, match="unknown benchmark"):
+            BenchmarkSuite().run_benchmark("quantum")
+
+    def test_registry_extension(self, tmp_path):
+        suite = BenchmarkSuite(str(tmp_path))
+
+        class Custom(WeatherBenchmark):
+            name = "custom"
+
+        suite.register("custom", Custom)
+        r = suite.run_benchmark("custom", grid_size=32, num_steps=5)
+        assert r.workload == "custom"
+
+    def test_cost_model_integration(self, tmp_path):
+        suite = BenchmarkSuite(str(tmp_path))
+        r = suite.run_benchmark("signal", num_samples=10_000, batch=2,
+                                cost_model=CloudTPUCostModel())
+        assert r.cost_metrics["execution_cost"] >= 0
+
+    def test_report_generation(self, tmp_path):
+        suite = BenchmarkSuite(str(tmp_path))
+        suite.run_benchmark("nbody", num_particles=128, num_steps=5)
+        suite.run_benchmark("geospatial", dem_size=64)
+        path = suite.generate_reports()
+        assert os.path.exists(path)
+        content = open(path).read()
+        assert "nbody" in content and "geospatial" in content
+        assert os.path.exists(os.path.join(str(tmp_path),
+                                           "throughput.png"))
