@@ -1,0 +1,75 @@
+"""Visualization smoke tests: every plot function renders and saves."""
+import os
+
+import numpy as np
+import pytest
+
+from njw_tpu.viz import (
+    animate_simulation, compare_images, plot_energy_history,
+    plot_particles_3d, plot_performance, plot_trajectory, show_image,
+    show_sinogram, visualize_field, visualize_height, visualize_velocity,
+    visualize_vorticity,
+)
+
+
+RNG = np.random.default_rng(0)
+F32 = lambda *s: RNG.standard_normal(s).astype(np.float32)
+
+
+class TestWeatherViz:
+    def test_fields(self, tmp_path):
+        for fn, args in [
+            (visualize_field, (F32(16, 16),)),
+            (visualize_height, (F32(16, 16) + 10,)),
+            (visualize_vorticity, (F32(16, 16), F32(16, 16))),
+        ]:
+            p = str(tmp_path / f"{fn.__name__}.png")
+            fn(*args, path=p)
+            assert os.path.getsize(p) > 0
+
+    @pytest.mark.parametrize("mode", ["quiver", "streamlines"])
+    def test_velocity_modes(self, tmp_path, mode):
+        p = str(tmp_path / f"v_{mode}.png")
+        visualize_velocity(F32(32, 32), F32(32, 32), mode=mode, path=p)
+        assert os.path.getsize(p) > 0
+
+    def test_animation_gif(self, tmp_path):
+        snaps = [{"h": F32(8, 8), "step": i} for i in range(3)]
+        p = str(tmp_path / "anim.gif")
+        animate_simulation(snaps, "h", path=p, fps=2)
+        assert os.path.getsize(p) > 0
+
+    def test_performance_plot(self, tmp_path):
+        p = str(tmp_path / "perf.png")
+        plot_performance({"total_time_ms": 120.0, "steps_per_second": 50.0,
+                          "note": "skip-me"}, path=p)
+        assert os.path.getsize(p) > 0
+
+
+class TestParticleViz:
+    def test_particles_and_trajectory(self, tmp_path):
+        pos = F32(64, 3)
+        p1 = str(tmp_path / "p3d.png")
+        plot_particles_3d(pos, masses=np.abs(F32(64)) + 0.1, path=p1)
+        p2 = str(tmp_path / "traj.png")
+        plot_trajectory([pos + 0.1 * i for i in range(4)], path=p2)
+        assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+    def test_energy_history(self, tmp_path):
+        p = str(tmp_path / "e.png")
+        t = np.linspace(0, 1, 20)
+        plot_energy_history(t, {"kinetic": t, "total": t * 0 + 1}, path=p)
+        assert os.path.getsize(p) > 0
+
+
+class TestImagingViz:
+    def test_image_sinogram_compare(self, tmp_path):
+        img = F32(24, 24)
+        for fn, args, name in [
+            (show_image, (img,), "img.png"),
+            (show_sinogram, (F32(30, 24),), "sino.png"),
+            (compare_images, ({"a": img, "b": img * 2},), "cmp.png"),
+        ]:
+            p = str(tmp_path / name)
+            fn(*args, path=p)
+            assert os.path.getsize(p) > 0
