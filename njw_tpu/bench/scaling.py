@@ -1,0 +1,130 @@
+"""Scaling-efficiency harness: grid-points/s at 1 chip -> N chips.
+
+The BASELINE metric the reference cannot express (it has no multi-device
+path): weak/strong-scaling sweeps of the sharded SWE / primitive-equation
+steps over device meshes, plus a halo-overlap efficiency estimate.
+
+  strong scaling:  fixed global grid, more chips
+  weak scaling:    fixed per-chip grid, more chips
+  efficiency(N) = throughput(N) / (N * throughput(1))
+  halo overlap  = t_interior_only / t_full_step (1.0 = comm fully hidden)
+
+On real pods the same functions run unchanged; in tests they run on
+virtual CPU devices (a topology proxy, not a bandwidth proxy — the numbers
+validate the *harness*, the driver's TPU runs produce the real curve).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from njw_tpu.weather.grid import GridSpec, PhysicsParams, WeatherState
+
+
+def _mesh_for(n: int, axes=("y", "x")) -> Mesh:
+    import math
+
+    devs = jax.devices()[:n]
+    a = int(math.sqrt(n))
+    while n % a:
+        a -= 1
+    return Mesh(np.array(devs).reshape(n // a, a), axes)
+
+
+def _time_step_fn(step_fn, state, n_repeats: int = 3) -> float:
+    out = step_fn(state)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        out = step_fn(out)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def swe_scaling_sweep(
+    global_grid: int = 256, *, dt: float = 0.005, steps_per_call: int = 10,
+    device_counts: Optional[list[int]] = None, mode: str = "strong",
+) -> list[dict]:
+    """Sweep sharded-SWE throughput over device counts.
+
+    mode='strong': global grid fixed; mode='weak': per-chip grid fixed at
+    global_grid (the global domain grows with N).
+    """
+    from njw_tpu.parallel.halo import sharded_state, sharded_swe_step
+    from njw_tpu.weather.ics import make_initial_state
+
+    n_avail = len(jax.devices())
+    counts = device_counts or [n for n in (1, 2, 4, 8) if n <= n_avail]
+    params = PhysicsParams(coriolis_f=1e-4)
+    rows = []
+    base_tp = None
+    for n in counts:
+        mesh = _mesh_for(n)
+        py, px = mesh.devices.shape
+        if mode == "strong":
+            ny = nx = global_grid
+        else:
+            ny, nx = global_grid * py, global_grid * px
+        grid = GridSpec(nx=nx, ny=ny)
+        s0 = make_initial_state("vortex", grid, strength=2.0)
+        s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+        step = sharded_swe_step(grid, params, mesh, dt=dt,
+                                n_steps=steps_per_call)
+        t = _time_step_fn(step, sharded_state(s0, mesh))
+        tp = ny * nx * steps_per_call / t
+        if base_tp is None:
+            base_tp = tp
+        ideal = base_tp * (n if mode == "weak" else n)
+        rows.append({
+            "devices": n, "mesh": [py, px], "grid": [ny, nx],
+            "seconds_per_call": t,
+            "grid_points_per_second": tp,
+            "scaling_efficiency": tp / ideal if mode == "strong"
+            else tp / (base_tp * n),
+        })
+    return rows
+
+
+def halo_overlap_efficiency(grid_size: int = 256, n_devices: int = 4,
+                            dt: float = 0.005, n_steps: int = 10) -> dict:
+    """Compare the full sharded step (halo exchange + stencil) against the
+    same stencil with the exchange replaced by local edge-clamping — the
+    delta is the *exposed* (non-overlapped) communication time."""
+    from njw_tpu.parallel.halo import sharded_state, sharded_swe_step
+    from njw_tpu.weather.ics import make_initial_state
+
+    mesh = _mesh_for(min(n_devices, len(jax.devices())))
+    grid_p = GridSpec(nx=grid_size, ny=grid_size, bc="periodic")
+    params = PhysicsParams(coriolis_f=1e-4)
+    s0 = make_initial_state("vortex", grid_p, strength=2.0)
+    s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+
+    full = sharded_swe_step(grid_p, params, mesh, dt=dt, n_steps=n_steps)
+    t_full = _time_step_fn(full, sharded_state(s0, mesh))
+
+    # comm-free proxy: same stencil math, halos filled by local clamping
+    # (wrong physics at shard seams, identical FLOPs, zero ppermutes)
+    from njw_tpu.parallel import halo as H
+
+    orig = H._ring_shift
+    try:
+        H._ring_shift = lambda x, axis_name, shift: x  # no-op exchange
+        nocomm = sharded_swe_step(grid_p, params, mesh, dt=dt,
+                                  n_steps=n_steps)
+        t_nocomm = _time_step_fn(nocomm, sharded_state(s0, mesh))
+    finally:
+        H._ring_shift = orig
+
+    return {
+        "devices": int(mesh.devices.size),
+        "t_full_s": t_full,
+        "t_compute_only_s": t_nocomm,
+        "exposed_comm_s": max(t_full - t_nocomm, 0.0),
+        "overlap_efficiency": min(t_nocomm / t_full, 1.0),
+    }

@@ -228,3 +228,114 @@ def sharded_pe_step(
         check_vma=False,
     )
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Sharded barotropic step: 1-D row decomposition + distributed Poisson
+# (BASELINE config 3: barotropic 1024^2 with distributed spectral solve).
+# ---------------------------------------------------------------------------
+
+def _halo_pad_y(f: jnp.ndarray, bc: str = "periodic") -> jnp.ndarray:
+    """Pad only the row axis with 1-cell neighbor halos (x stays whole)."""
+    top = _ring_shift(f[..., -1:, :], "y", +1)
+    bot = _ring_shift(f[..., :1, :], "y", -1)
+    if bc == "clamped":
+        iy = lax.axis_index("y")
+        ny = lax.axis_size("y")
+        top = jnp.where(iy == 0, f[..., :1, :], top)
+        bot = jnp.where(iy == ny - 1, f[..., -1:, :], bot)
+    return jnp.concatenate([top, f, bot], axis=-2)
+
+
+def _arakawa_padded(p: jnp.ndarray, z: jnp.ndarray, dx: float, dy: float):
+    """Arakawa Jacobian on y-padded (ly+2, nx) blocks; x wraps locally.
+    Same arithmetic as weather.barotropic.arakawa_jacobian."""
+    ly = p.shape[-2] - 2
+
+    def sh(f, dx_, dy_):
+        out = f
+        if dx_:
+            out = jnp.roll(out, -dx_, axis=-1)
+        return out[..., 1 + dy_: 1 + dy_ + ly, :]
+
+    pE, pW = sh(p, 1, 0), sh(p, -1, 0)
+    pN, pS = sh(p, 0, 1), sh(p, 0, -1)
+    pNE, pNW = sh(p, 1, 1), sh(p, -1, 1)
+    pSE, pSW = sh(p, 1, -1), sh(p, -1, -1)
+    zE, zW = sh(z, 1, 0), sh(z, -1, 0)
+    zN, zS = sh(z, 0, 1), sh(z, 0, -1)
+    zNE, zNW = sh(z, 1, 1), sh(z, -1, 1)
+    zSE, zSW = sh(z, 1, -1), sh(z, -1, -1)
+    pc = sh(p, 0, 0)
+    zc = sh(z, 0, 0)
+
+    j1 = (pE - pW) * (zN - zS) - (pN - pS) * (zE - zW)
+    j2 = (pE * (zNE - zSE) - pW * (zNW - zSW)
+          - pN * (zNE - zNW) + pS * (zSE - zSW))
+    j3 = (zN * (pNE - pNW) - zS * (pSE - pSW)
+          - zE * (pNE - pSE) + zW * (pNW - pSW))
+    del pc, zc
+    return (j1 + j2 + j3) / (12.0 * dx * dy)
+
+
+def sharded_barotropic_step(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    method: str = "rk4", n_steps: int = 1,
+):
+    """Multi-chip barotropic vorticity step over a 1-D ('y',) row
+    decomposition: per-stage distributed transpose-FFT Poisson inversion +
+    y halo exchange for the Arakawa Jacobian.
+    """
+    from njw_tpu.parallel.fft import distributed_poisson_solve
+    from njw_tpu.weather.barotropic import BarotropicState
+    from njw_tpu.weather.integrators import make_stepper
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("barotropic requires periodic BC")
+    n_dev = mesh.devices.size
+    if grid.ny % n_dev or grid.nx % n_dev:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} must divide the {n_dev}-device mesh "
+            "in BOTH axes (the transpose FFT re-shards x)")
+    beta = params.beta
+    nu = params.viscosity
+
+    def local_tendency(s: BarotropicState) -> BarotropicState:
+        zeta = s.zeta
+        psi = distributed_poisson_solve(zeta, grid.dx, grid.dy, "y")
+        pp = _halo_pad_y(psi)
+        zp = _halo_pad_y(zeta)
+        dz = -_arakawa_padded(pp, zp, grid.dx, grid.dy)
+        if not (isinstance(beta, (int, float)) and beta == 0.0):
+            v = (jnp.roll(psi, -1, axis=-1)
+                 - jnp.roll(psi, 1, axis=-1)) * (0.5 / grid.dx)
+            dz = dz - beta * v
+        if not (isinstance(nu, (int, float)) and nu == 0.0):
+            lap_x = (jnp.roll(zeta, -1, -1) - 2 * zeta
+                     + jnp.roll(zeta, 1, -1)) / (grid.dx * grid.dx)
+            lap_y = (zp[..., 2:, :] - 2 * zeta
+                     + zp[..., :-2, :]) / (grid.dy * grid.dy)
+            dz = dz + nu * (lap_x + lap_y)
+        return BarotropicState(zeta=dz)
+
+    stepper = make_stepper(method, local_tendency)
+    dt_f = jnp.float32(dt)
+
+    def local_steps(state):
+        carry = stepper.init(state)
+
+        def body(cs, _):
+            c, s = cs
+            c, s = stepper.step(c, s, dt_f)
+            return (c, s), None
+
+        (carry, state), _ = lax.scan(body, (carry, state), None,
+                                     length=n_steps)
+        return state
+
+    from njw_tpu.weather.barotropic import BarotropicState as BS
+
+    spec = BS(zeta=P("y", None))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))

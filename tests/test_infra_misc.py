@@ -1,0 +1,86 @@
+"""Scaling harness, config system, MD CLI, bench CLI."""
+import json
+
+import numpy as np
+import pytest
+
+from njw_tpu.bench.scaling import halo_overlap_efficiency, swe_scaling_sweep
+from njw_tpu.utils.config import apply_cli_overrides, load_config, save_config
+from njw_tpu.weather.model import SimConfig
+
+
+class TestScalingHarness:
+    def test_strong_scaling_sweep(self):
+        rows = swe_scaling_sweep(global_grid=64, steps_per_call=5,
+                                 device_counts=[1, 4])
+        assert len(rows) == 2
+        assert rows[0]["devices"] == 1 and rows[1]["devices"] == 4
+        for r in rows:
+            assert r["grid_points_per_second"] > 0
+            assert 0 < r["scaling_efficiency"] <= 4.0
+
+    def test_weak_scaling_grid_grows(self):
+        rows = swe_scaling_sweep(global_grid=32, steps_per_call=2,
+                                 device_counts=[1, 4], mode="weak")
+        assert rows[1]["grid"] != rows[0]["grid"]
+
+    def test_halo_overlap_metric(self):
+        m = halo_overlap_efficiency(grid_size=64, n_devices=4, n_steps=5)
+        assert 0 < m["overlap_efficiency"] <= 1.0
+        assert m["t_full_s"] > 0
+
+
+class TestConfig:
+    def test_json_roundtrip_and_overrides(self, tmp_path):
+        cfg = SimConfig(grid_width=128, dt=0.02)
+        p = save_config(cfg, str(tmp_path / "cfg.json"))
+        back = load_config(SimConfig, p, grid_height=64)
+        assert back.grid_width == 128 and back.grid_height == 64
+        assert back.dt == 0.02
+
+    def test_yaml_roundtrip(self, tmp_path):
+        pytest.importorskip("yaml")
+        cfg = SimConfig(model="barotropic")
+        p = save_config(cfg, str(tmp_path / "cfg.yaml"))
+        back = load_config(SimConfig, p)
+        assert back.model == "barotropic"
+
+    def test_unknown_key_raises(self, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps({"grid_width": 4, "warp_speed": 9}))
+        with pytest.raises(ValueError, match="unknown config keys"):
+            load_config(SimConfig, str(p))
+
+    def test_cli_overrides_coerce_types(self):
+        cfg = SimConfig()
+        out = apply_cli_overrides(cfg, ["grid_width=512", "dt=0.5",
+                                        "model=primitive"])
+        assert out.grid_width == 512 and out.dt == 0.5
+        assert out.model == "primitive"
+        with pytest.raises(ValueError):
+            apply_cli_overrides(cfg, ["nope=1"])
+
+
+class TestCLIs:
+    def test_md_cli(self, tmp_path, capsys):
+        from njw_tpu.md.__main__ import main
+
+        rc = main(["--system", "lj_fluid", "--num-atoms", "27",
+                   "--steps", "20",
+                   "--output-state", str(tmp_path / "s.json")])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["atoms"] == 27 and out["steps"] == 20
+        assert (tmp_path / "s.json").exists()
+
+    def test_bench_cli(self, tmp_path, capsys):
+        from njw_tpu.bench.__main__ import main
+
+        rc = main(["--workloads", "nbody", "--params",
+                   '{"nbody": {"num_particles": 128, "num_steps": 3}}',
+                   "--output-dir", str(tmp_path)])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        row = json.loads(out[-1])
+        assert row["workload"] == "nbody"
+        assert (tmp_path / "results.json").exists()

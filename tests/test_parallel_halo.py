@@ -142,3 +142,48 @@ class TestShardedPE:
                 np.asarray(getattr(sim.state, name)),
                 rtol=2e-5, atol=2e-5, err_msg=name,
             )
+
+
+class TestDistributedFFT:
+    def test_poisson_matches_single_device(self):
+        from jax.sharding import Mesh
+        from njw_tpu.ops.spectral import poisson_solve
+        from njw_tpu.parallel.fft import make_distributed_poisson
+
+        rng = np.random.default_rng(0)
+        f = rng.standard_normal((64, 64)).astype(np.float32)
+        f -= f.mean()
+        devs = np.array(jax.devices()[:4])
+        mesh = Mesh(devs, ("y",))
+        solve = make_distributed_poisson(mesh, 64, 64, 1.0, 1.0)
+        got = np.asarray(solve(jnp.asarray(f)))
+        want = np.asarray(poisson_solve(jnp.asarray(f), 1.0, 1.0))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestShardedBarotropic:
+    def test_matches_single_device(self):
+        from jax.sharding import Mesh
+        from njw_tpu.parallel.halo import sharded_barotropic_step
+
+        grid = GridSpec(nx=64, ny=64, dx=1.0, dy=1.0)
+        params = PhysicsParams(beta=1e-3)
+        cfg = SimConfig(model="barotropic", grid_width=64, grid_height=64,
+                        dt=0.05, integration_method="rk4", beta=1e-3)
+        sim = Simulation.from_config(cfg, "vortex", strength=3.0)
+        z0 = sim.state
+
+        devs = np.array(jax.devices()[:4])
+        mesh = Mesh(devs, ("y",))
+        step = sharded_barotropic_step(grid, params, mesh, dt=0.05,
+                                       method="rk4", n_steps=10)
+        from jax.sharding import NamedSharding
+        z0_sharded = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P("y", None))),
+            z0)
+        sharded = step(z0_sharded)
+        sim.step(10)
+        np.testing.assert_allclose(
+            np.asarray(sharded.zeta), np.asarray(sim.state.zeta),
+            rtol=5e-4, atol=5e-5,
+        )
