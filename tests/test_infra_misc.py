@@ -84,3 +84,43 @@ class TestCLIs:
         row = json.loads(out[-1])
         assert row["workload"] == "nbody"
         assert (tmp_path / "results.json").exists()
+
+
+class TestDatasetsProfiling:
+    def test_synthetic_dem_properties(self):
+        from njw_tpu.geospatial.datasets import synthetic_dem
+
+        dem = synthetic_dem(128, relief=50.0, seed=1)
+        assert dem.shape == (128, 128)
+        assert 0 <= dem.min() and dem.max() == pytest.approx(50.0, abs=1e-3)
+        # deterministic
+        np.testing.assert_array_equal(dem, synthetic_dem(128, relief=50.0,
+                                                         seed=1))
+
+    def test_synthetic_point_cloud_scene(self):
+        from njw_tpu.geospatial.datasets import synthetic_point_cloud
+
+        pc = synthetic_point_cloud(5000, seed=2)
+        assert pc.n >= 4500
+        lo, hi = pc.bounds()
+        assert hi[2] > lo[2] + 5.0  # buildings/trees give vertical extent
+
+    def test_timer_and_opstats(self):
+        from njw_tpu.utils.profiling import OpStats, Timer, time_jitted
+        import jax, jax.numpy as jnp
+
+        t = Timer()
+        with t.phase("a"):
+            pass
+        with t.phase("a"):
+            pass
+        assert t.counts["a"] == 2 and "a" in t.report()
+
+        stats = OpStats()
+        stats.record("stencil", (8, 128), 2.0)
+        stats.record("stencil", (16, 128), 1.0)
+        assert stats.best_key("stencil") == (16, 128)
+
+        f = jax.jit(lambda x: x * 2)
+        m = time_jitted(f, jnp.ones(8), repeats=2)
+        assert m["best_s"] > 0
