@@ -467,3 +467,31 @@ class MultirateFilter:
     def resample(self, x, up: int, down: int):
         """Rational-rate polyphase resample up/down."""
         return self.decimate(self.interpolate(x, up), down)
+
+
+def design_fir_least_squares(num_taps: int, bands, desired,
+                             n_grid: int = 512) -> np.ndarray:
+    """Least-squares linear-phase FIR design (the ref design-enum member
+    beyond the window method, digital_filtering.h:42-93): minimizes the
+    L2 error of the amplitude response over a dense frequency grid.
+
+    bands: [(f0, f1), ...] in Nyquist units; desired: amplitude per band.
+    """
+    if num_taps % 2 == 0:
+        raise ValueError("least-squares design needs odd num_taps")
+    m = (num_taps - 1) // 2
+    w_grid = []
+    d_grid = []
+    for (f0, f1), amp in zip(bands, desired):
+        f = np.linspace(f0, f1, max(int(n_grid * (f1 - f0)), 8))
+        w_grid.append(f)
+        d_grid.append(np.full_like(f, amp))
+    w = np.concatenate(w_grid) * np.pi
+    d = np.concatenate(d_grid)
+    # amplitude of a type-I filter: A(w) = c0 + 2 sum_k c_k cos(k w)
+    A = np.ones((len(w), m + 1))
+    for k in range(1, m + 1):
+        A[:, k] = 2.0 * np.cos(k * w)
+    c, *_ = np.linalg.lstsq(A, d, rcond=None)
+    h = np.concatenate([c[:0:-1], [c[0]], c[1:]]).astype(np.float32)
+    return h

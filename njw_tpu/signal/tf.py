@@ -406,3 +406,78 @@ def mfcc(x, fs: float = 16000.0, n_fft: int = 512,
     basis = basis * jnp.sqrt(2.0 / n_mels)
     basis = basis.at[0].multiply(1.0 / jnp.sqrt(2.0))
     return basis @ logM
+
+
+class WPT:
+    """Wavelet packet transform: full binary tree of DWT splits
+    (ref: wavelet.py:589 WPT)."""
+
+    def __init__(self, wavelet: str = "db2"):
+        self._dwt = DWT(wavelet)
+
+    def decompose(self, x, level: int = 2):
+        """Returns the list of 2^level leaf subbands (natural order)."""
+        nodes = [jnp.asarray(x, jnp.float32)]
+        for _ in range(level):
+            nxt = []
+            for node in nodes:
+                lo, hi = self._dwt._analyze(node)
+                nxt += [lo, hi]
+            nodes = nxt
+        return nodes
+
+    def reconstruct(self, leaves):
+        nodes = list(leaves)
+        while len(nodes) > 1:
+            nodes = [
+                self._dwt._synthesize(nodes[i], nodes[i + 1])
+                for i in range(0, len(nodes), 2)
+            ]
+        return nodes[0]
+
+    def energy_map(self, x, level: int = 2):
+        """Per-subband energies (feature extraction use case)."""
+        import numpy as _np
+
+        return _np.asarray([float(jnp.sum(b * b))
+                            for b in self.decompose(x, level)])
+
+
+class MODWT:
+    """Maximal-overlap (undecimated) DWT (ref: wavelet.py:748): shift-
+    invariant, same length at every level; filters are rescaled by
+    1/sqrt(2) and upsampled by 2^(j-1) per level."""
+
+    def __init__(self, wavelet: str = "db2"):
+        base = DWT(wavelet)
+        self.h = np.asarray(base.dec_lo, np.float64) / np.sqrt(2.0)
+        self.g = np.asarray(base.dec_hi, np.float64) / np.sqrt(2.0)
+
+    def _circ_filter(self, x, taps, upsample: int):
+        """Circular correlation with the taps upsampled by `upsample`."""
+        n = x.shape[-1]
+        full = np.zeros(len(taps) * upsample - (upsample - 1), np.float32)
+        full[::upsample] = taps
+        k = len(full)
+        xp = jnp.concatenate([x, x[..., : k - 1]], axis=-1)
+        return fir_corr(xp, full)[..., :n]
+
+    def decompose(self, x, level: int = 3):
+        """[w1, w2, ..., wL, vL] — detail coefficients per level + final
+        smooth, all of the input length."""
+        x = jnp.asarray(x, jnp.float32)
+        out = []
+        v = x
+        for j in range(level):
+            up = 2 ** j
+            w = self._circ_filter(v, self.g, up)
+            v = self._circ_filter(v, self.h, up)
+            out.append(w)
+        out.append(v)
+        return out
+
+    def energy_decomposition(self, x, level: int = 3):
+        coeffs = self.decompose(x, level)
+        import numpy as _np
+
+        return _np.asarray([float(jnp.sum(c * c)) for c in coeffs])

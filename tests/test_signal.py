@@ -297,3 +297,47 @@ class TestMel:
         C = np.asarray(mfcc(x, fs=16000.0, n_fft=512, n_mfcc=13))
         assert C.shape[0] == 13
         assert np.all(np.isfinite(C))
+
+
+class TestWPTMODWT:
+    def test_wpt_perfect_reconstruction(self):
+        from njw_tpu.signal import WPT
+
+        rng = np.random.default_rng(10)
+        x = rng.standard_normal(128).astype(np.float32)
+        wpt = WPT("db2")
+        leaves = wpt.decompose(x, level=2)
+        assert len(leaves) == 4
+        y = np.asarray(wpt.reconstruct(leaves))[:128]
+        np.testing.assert_allclose(y, x, atol=1e-3)
+
+    def test_wpt_energy_localizes_tone(self):
+        from njw_tpu.signal import WPT
+
+        x = tone(400.0, n=512)  # near Nyquist -> high-frequency subbands
+        e = WPT("db4").energy_map(x, level=2)
+        assert e[2:].sum() > e[:2].sum()
+
+    def test_modwt_shapes_and_energy(self):
+        from njw_tpu.signal import MODWT
+
+        x = tone(50.0, n=256)
+        coeffs = MODWT("db2").decompose(x, level=3)
+        assert len(coeffs) == 4
+        for c in coeffs:
+            assert np.asarray(c).shape == (256,)
+        # slow tone: energy concentrated in the final smooth
+        e = MODWT("db2").energy_decomposition(x, level=3)
+        assert e[-1] > 0.5 * e.sum()
+
+
+class TestLeastSquaresFIR:
+    def test_lowpass_response(self):
+        from njw_tpu.signal import design_fir_least_squares
+
+        h = design_fir_least_squares(
+            101, bands=[(0.0, 0.2), (0.3, 1.0)], desired=[1.0, 0.0])
+        H = np.abs(np.fft.rfft(h, 1024))
+        f = np.linspace(0, 1, len(H))
+        assert H[(f < 0.15)].min() > 0.9
+        assert H[(f > 0.35)].max() < 0.1
