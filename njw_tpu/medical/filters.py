@@ -114,11 +114,20 @@ _FILTERS = {
 
 
 def apply_filter(image, method: str = "gaussian", **kw):
-    """ref: python/medical_imaging/__init__.py apply_filter."""
+    """ref: python/medical_imaging/__init__.py apply_filter.
+
+    3-D/4-D images (ref MedicalImage dims, medical_imaging.hpp:193) are
+    filtered slice-wise over the leading axes via vmap."""
     data = image.data if hasattr(image, "modality") else image
     try:
-        return _FILTERS[method](data, **kw)
+        fn = _FILTERS[method]
     except KeyError:
         raise ValueError(
             f"unknown filter {method!r}; available: {sorted(_FILTERS)}"
         ) from None
+    data = jnp.asarray(data, jnp.float32)
+    if data.ndim == 2:
+        return fn(data, **kw)
+    flat = data.reshape((-1,) + data.shape[-2:])
+    out = jax.vmap(lambda sl: fn(sl, **kw))(flat)
+    return out.reshape(data.shape)

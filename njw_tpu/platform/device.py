@@ -147,6 +147,27 @@ def _round_down_pow2_mult(x: int, m: int) -> int:
     return m
 
 
+def is_tpu_available() -> bool:
+    """ref: is_cuda_available, python/weather_simulation.py:471."""
+    return detect().is_tpu
+
+
+def get_device_info() -> dict:
+    """ref: get_device_info, python/weather_simulation.py:483-520 and
+    molecular_dynamics.py:338-365."""
+    caps = detect()
+    return {
+        "platform": caps.platform,
+        "generation": caps.generation,
+        "num_devices": caps.num_devices,
+        "hbm_gb": caps.hbm_gb,
+        "hbm_bandwidth_gbps": caps.hbm_bandwidth_gbps,
+        "vmem_bytes": caps.vmem_bytes,
+        "peak_bf16_tflops": caps.peak_bf16_tflops,
+        "ici_bandwidth_gbps": caps.ici_bandwidth_gbps,
+    }
+
+
 def default_mesh(shape: Optional[tuple[int, int]] = None,
                  axis_names: tuple[str, str] = ("x", "y")):
     """Build a 2-D device mesh for spatial domain decomposition.

@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="snapshot interval in steps (0 = no snapshots)")
     p.add_argument("--output", default=None,
                    help="write final state + snapshots to this .npz")
+    p.add_argument("--output-format", default=None,
+                   choices=["csv", "npz", "vtk", "netcdf"],
+                   help="write per-interval snapshots via an output "
+                        "manager into --output-dir")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--device-info", action="store_true",
+                   help="print device info and exit")
     p.add_argument("--json", action="store_true",
                    help="print metrics as one JSON line")
     return p
@@ -51,6 +58,12 @@ def main(argv=None) -> int:
 
     from njw_tpu.weather import SimConfig, Simulation
 
+    if args.device_info:
+        from njw_tpu.platform import get_device_info
+
+        print(json.dumps(get_device_info()))
+        return 0
+
     cfg = SimConfig(
         model=args.model, grid_width=args.width, grid_height=args.height,
         num_levels=args.levels, dx=args.dx, dy=args.dy, dt=args.dt,
@@ -60,12 +73,20 @@ def main(argv=None) -> int:
         output_interval=args.output_interval,
     )
     sim = Simulation.from_config(cfg, args.initial)
+    callback = None
+    if args.output_format:
+        from njw_tpu.weather.output import OutputConfig, attach_output
+
+        _, callback = attach_output(
+            sim, OutputConfig(path=args.output_dir,
+                              format=args.output_format))
     # Warm-up/compile outside the timed region, then reset metrics.
     sim.step(1)
     sim.metrics.reset() if hasattr(sim.metrics, "reset") else None
     sim.metrics.total_time_ms = sim.metrics.compute_time_ms = 0.0
     sim.metrics.num_steps = 0
-    sim.run(args.steps - 1, output_interval=args.output_interval)
+    sim.run(args.steps - 1, output_interval=args.output_interval,
+            callback=callback)
 
     m = sim.metrics.as_dict()
     if args.json:

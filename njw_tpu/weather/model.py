@@ -248,6 +248,14 @@ class Simulation:
                 callback(self)
         return self.state
 
+    def run_until(self, t_end: float, output_interval: int = 0,
+                  callback=None) -> Any:
+        """Advance until sim time reaches t_end (ref: runUntil,
+        weather_simulation.cpp:105-115)."""
+        n = max(int(round((t_end - self.time) / self.dt)), 0)
+        return self.run(n, output_interval=output_interval,
+                        callback=callback)
+
     def _store_output(self):
         t0 = time.perf_counter()
         fields = (

@@ -124,3 +124,39 @@ class TestDatasetsProfiling:
         f = jax.jit(lambda x: x * 2)
         m = time_jitted(f, jnp.ones(8), repeats=2)
         assert m["best_s"] > 0
+
+
+class TestAPIParity:
+    def test_run_until(self):
+        from njw_tpu.weather import SimConfig, Simulation
+
+        cfg = SimConfig(grid_width=32, grid_height=32, dt=0.01)
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        sim.run_until(0.5)
+        assert sim.step_count == 50
+
+    def test_device_info(self):
+        from njw_tpu.platform import get_device_info, is_tpu_available
+
+        info = get_device_info()
+        assert "generation" in info and info["num_devices"] >= 1
+        assert isinstance(is_tpu_available(), bool)
+
+    def test_weather_cli_output_manager(self, tmp_path, capsys):
+        from njw_tpu.weather.__main__ import main
+
+        rc = main(["--width", "32", "--height", "32", "--steps", "20",
+                   "--output-interval", "10", "--output-format", "npz",
+                   "--output-dir", str(tmp_path), "--json"])
+        assert rc == 0
+        import os
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+        assert len(files) >= 2
+
+    def test_medical_3d_filter(self):
+        from njw_tpu.medical import apply_filter
+
+        vol = np.random.default_rng(0).standard_normal(
+            (4, 16, 16)).astype(np.float32)
+        out = apply_filter(vol, "gaussian", sigma=1.0)
+        assert out.shape == (4, 16, 16)
