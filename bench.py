@@ -8,6 +8,13 @@ The reference publishes no measured weather numbers (SURVEY §6), so
 roofline the BASELINE targets at >=0.70. SoL model: an RK4 step is 4
 stencil stages; a perfectly fused stage streams 3 fields in + 3 out at
 4 B/point (f32) = 96 B/point/step. sol_steps_per_s = BW / (96 * npoints).
+(The fused Pallas kernel's true traffic is ~26 B/point, so >1.0 is
+reachable.)
+
+Measurement notes (this backend's async queue can report readiness
+early): timing is differential — run N steps and 2N steps, each hard-
+synced by a device-to-host copy, and use t(2N) - t(N) so constant
+overheads (dispatch, D2H) cancel.
 """
 from __future__ import annotations
 
@@ -20,8 +27,17 @@ STEPS = 100
 DT = 0.002  # CFL-safe at 2048^2 for the weak vortex used here
 
 
+def _timed_steps(sim, n: int) -> float:
+    """Seconds for n steps, hard-synced via D2H of one field."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    sim.step(n)
+    _ = np.asarray(sim.state.h[:8, :8])  # D2H forces real completion
+    return time.perf_counter() - t0
+
+
 def main() -> None:
-    import jax
     import numpy as np
 
     from njw_tpu.platform.device import detect
@@ -32,16 +48,16 @@ def main() -> None:
                     integration_method="rk4", coriolis_f=1e-4)
     sim = Simulation.from_config(cfg, "vortex", strength=2.0)
 
-    # compile + warm-up with the SAME chunk length as the timed run (a
-    # different scan length is a different executable)
-    sim.step(STEPS)
+    # compile + warm-up both chunk lengths (a scan length is part of the
+    # compiled executable)
+    _timed_steps(sim, STEPS)
+    _timed_steps(sim, 2 * STEPS)
+
+    t_short = _timed_steps(sim, STEPS)
+    t_long = _timed_steps(sim, 2 * STEPS)
     assert bool(np.isfinite(np.asarray(sim.state.h)).all())
 
-    t0 = time.perf_counter()
-    sim.step(STEPS)
-    elapsed = time.perf_counter() - t0
-    assert bool(np.isfinite(np.asarray(sim.state.h)).all())
-
+    elapsed = max(t_long - t_short, 1e-9)  # = STEPS steps of pure compute
     steps_per_s = STEPS / elapsed
     gps = GRID * GRID * steps_per_s
 

@@ -24,7 +24,8 @@ from njw_tpu.signal.spectral import FFT, SpectralAnalyzer, compute_psd, \
 from njw_tpu.signal.filters import (
     FIRFilter, IIRFilter, AdaptiveFilter, MultirateFilter,
     design_fir_lowpass, design_fir_bandpass, design_fir_highpass,
-    design_fir_least_squares, butterworth, chebyshev1,
+    design_fir_least_squares, design_fir_equiripple,
+    butterworth, chebyshev1,
 )
 from njw_tpu.signal.tf import STFT, CWT, DWT, WPT, MODWT, \
     WignerVille, EMD, mel_spectrogram, mfcc

@@ -495,3 +495,45 @@ def design_fir_least_squares(num_taps: int, bands, desired,
     c, *_ = np.linalg.lstsq(A, d, rcond=None)
     h = np.concatenate([c[:0:-1], [c[0]], c[1:]]).astype(np.float32)
     return h
+
+
+def design_fir_equiripple(num_taps: int, bands, desired, weights=None,
+                          n_iterations: int = 60,
+                          n_grid: int = 1024) -> np.ndarray:
+    """Equiripple (Parks-McClellan-class) linear-phase FIR design via
+    Lawson-weighted iterative least squares (ref design enum member,
+    digital_filtering.h:42-93).
+
+    Lawson's algorithm reweights the L2 solution by |error| each
+    iteration, converging to the Chebyshev (minimax) solution — same
+    optimum the Remez exchange finds, with a simpler, numerically robust
+    inner step (a small least-squares solve).
+    """
+    if num_taps % 2 == 0:
+        raise ValueError("equiripple design needs odd num_taps")
+    m = (num_taps - 1) // 2
+    w_grid, d_grid, base_w = [], [], []
+    weights = weights or [1.0] * len(bands)
+    for (f0, f1), amp, bw in zip(bands, desired, weights):
+        f = np.linspace(f0, f1, max(int(n_grid * (f1 - f0)), 16))
+        w_grid.append(f)
+        d_grid.append(np.full_like(f, amp))
+        base_w.append(np.full_like(f, bw))
+    w = np.concatenate(w_grid) * np.pi
+    d = np.concatenate(d_grid)
+    lam = np.concatenate(base_w)
+
+    A = np.ones((len(w), m + 1))
+    for k in range(1, m + 1):
+        A[:, k] = 2.0 * np.cos(k * w)
+
+    wt = lam.copy()
+    c = None
+    for _ in range(n_iterations):
+        sw = np.sqrt(wt)
+        c, *_ = np.linalg.lstsq(A * sw[:, None], d * sw, rcond=None)
+        err = np.abs(A @ c - d) * lam
+        wt = wt * (err + 1e-12)
+        wt = wt / wt.sum() * len(wt)
+    h = np.concatenate([c[:0:-1], [c[0]], c[1:]]).astype(np.float32)
+    return h

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--device-info", action="store_true",
                    help="print device info and exit")
+    p.add_argument("--validate", action="store_true",
+                   help="run the device path against the NumPy oracle "
+                        "(allclose check) and exit")
     p.add_argument("--json", action="store_true",
                    help="print metrics as one JSON line")
     return p
@@ -63,6 +66,9 @@ def main(argv=None) -> int:
 
         print(json.dumps(get_device_info()))
         return 0
+
+    if args.validate:
+        return _validate(args)
 
     cfg = SimConfig(
         model=args.model, grid_width=args.width, grid_height=args.height,
@@ -106,6 +112,39 @@ def main(argv=None) -> int:
                             **{k: np.asarray(v) for k, v in payload.items()})
         print(f"wrote {args.output}")
     return 0
+
+
+def _validate(args) -> int:
+    """Device-vs-oracle allclose check (the BASELINE correctness bar,
+    run on demand from the CLI)."""
+    import numpy as np
+
+    from njw_tpu.weather import SimConfig, Simulation, make_initial_state
+    from njw_tpu.weather.grid import GridSpec
+    from njw_tpu.weather.oracle import SWEOracle
+
+    n = min(args.width, 128)
+    steps = min(args.steps, 200)
+    grid = GridSpec(nx=n, ny=n, bc=args.bc)
+    s0 = make_initial_state(args.initial, grid, strength=2.0) \
+        if args.initial == "vortex" else make_initial_state(args.initial, grid)
+    cfg = SimConfig(grid_width=n, grid_height=n, dt=args.dt,
+                    integration_method=args.method,
+                    boundary_condition=args.bc, backend=args.backend,
+                    coriolis_f=args.coriolis)
+    ic_kw = {"strength": 2.0} if args.initial == "vortex" else {}
+    sim = Simulation.from_config(cfg, args.initial, **ic_kw)
+    sim.step(steps)
+    method = args.method if args.method in ("euler", "rk2", "rk4",
+                                            "adams_bashforth") else "rk4"
+    u, v, h = SWEOracle(bc=args.bc, coriolis_f=args.coriolis).run(
+        (np.asarray(s0.u), np.asarray(s0.v), np.asarray(s0.h)),
+        args.dt, steps, method)
+    diff = float(np.max(np.abs(np.asarray(sim.state.h) - h)))
+    ok = bool(np.isfinite(diff) and diff < 1e-3 * max(np.abs(h).max(), 1.0))
+    print(json.dumps({"grid": n, "steps": steps, "method": method,
+                      "max_abs_diff_h": diff, "allclose": ok}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

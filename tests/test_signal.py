@@ -341,3 +341,34 @@ class TestLeastSquaresFIR:
         f = np.linspace(0, 1, len(H))
         assert H[(f < 0.15)].min() > 0.9
         assert H[(f > 0.35)].max() < 0.1
+
+
+class TestEquirippleFIR:
+    def test_equiripple_beats_ls_peak_error(self):
+        from njw_tpu.signal import (design_fir_equiripple,
+                                    design_fir_least_squares)
+
+        bands = [(0.0, 0.35), (0.45, 1.0)]
+        desired = [1.0, 0.0]
+        h_eq = design_fir_equiripple(61, bands, desired)
+        h_ls = design_fir_least_squares(61, bands, desired)
+
+        def peak_err(h):
+            H = np.abs(np.fft.rfft(h, 2048))
+            f = np.linspace(0, 1, len(H))
+            ep = np.abs(H[(f <= 0.35)] - 1.0).max()
+            es = H[(f >= 0.45)].max()
+            return max(ep, es)
+
+        assert peak_err(h_eq) < peak_err(h_ls)
+
+    def test_equiripple_error_is_balanced(self):
+        from njw_tpu.signal import design_fir_equiripple
+
+        h = design_fir_equiripple(61, [(0.0, 0.3), (0.42, 1.0)], [1.0, 0.0])
+        H = np.abs(np.fft.rfft(h, 2048))
+        f = np.linspace(0, 1, len(H))
+        ep = np.abs(H[(f <= 0.3)] - 1.0).max()
+        es = H[(f >= 0.42)].max()
+        # minimax: band errors equalize (within a tolerance factor)
+        assert 0.3 < ep / es < 3.0
