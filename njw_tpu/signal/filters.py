@@ -352,13 +352,21 @@ def sos_apply(x, sos):
 
 
 class IIRFilter:
-    """ref: digital_filtering.h:233 IIRFilter."""
+    """ref: digital_filtering.h:233 IIRFilter (all five design families
+    of the reference enum: butterworth/chebyshev1/chebyshev2/elliptic/
+    bessel)."""
 
     def __init__(self, sos=None, *, design: str = "butterworth",
                  order: int = 4, cutoff=0.25, btype: str = "lowpass",
-                 ripple_db: float = 1.0):
+                 ripple_db: float = 1.0, stopband_db: float = 40.0):
         if sos is None:
-            sos = _design_iir(design, order, cutoff, btype, ripple_db)
+            if design == "elliptic":
+                from njw_tpu.signal.elliptic import elliptic_sos
+
+                sos = elliptic_sos(order, cutoff, btype, rp=ripple_db,
+                                   rs=stopband_db)
+            else:
+                sos = _design_iir(design, order, cutoff, btype, ripple_db)
         self.sos = np.asarray(sos, np.float32)
 
     def apply(self, x):

@@ -372,3 +372,41 @@ class TestEquirippleFIR:
         es = H[(f >= 0.42)].max()
         # minimax: band errors equalize (within a tolerance factor)
         assert 0.3 < ep / es < 3.0
+
+
+class TestElliptic:
+    def test_prototype_equiripple(self):
+        from njw_tpu.signal.elliptic import ellipap
+
+        z, p, g = ellipap(5, 1.0, 40.0)
+        w = np.linspace(0.001, 4, 4000)
+        s = 1j * w
+        H = np.abs(g * np.prod(s[:, None] - z[None, :], axis=1)
+                   / np.prod(s[:, None] - p[None, :], axis=1))
+        pb = 20 * np.log10(H[w <= 1.0])
+        assert pb.min() > -1.05 and pb.max() < 0.05
+        sb = 20 * np.log10(H[w >= 1.35])
+        assert sb.max() < -39.5
+        assert np.all(np.real(p) < 0)  # stable
+
+    def test_digital_elliptic_separates_tones(self):
+        from njw_tpu.signal import IIRFilter
+
+        x = tone(30.0) + tone(400.0)
+        filt = IIRFilter(design="elliptic", order=5, cutoff=0.2,
+                         ripple_db=1.0, stopband_db=40.0)
+        y = np.asarray(filt.apply(x))
+        assert np.all(np.isfinite(y))
+        assert band_power(y, 20, 40) > 100 * band_power(y, 390, 410)
+
+    def test_elliptic_sharper_than_butterworth(self):
+        """Same order: elliptic transition is steeper."""
+        from njw_tpu.signal import IIRFilter
+
+        e = IIRFilter(design="elliptic", order=5, cutoff=0.3,
+                      stopband_db=50.0)
+        b = IIRFilter(design="butterworth", order=5, cutoff=0.3)
+        we, He = e.frequency_response(2048)
+        wb, Hb = b.frequency_response(2048)
+        sel = we >= 0.4
+        assert np.abs(He[sel]).max() < np.abs(Hb[sel]).max()
