@@ -225,12 +225,28 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
         )
     tendency = lambda s: pe_tendencies(s, grid, params)
 
+    # backend selection: fused Pallas PE stage kernel when eligible
+    # (mirrors the SWE selection, njw_tpu/weather/model.py)
+    stepper_factory = None
+    if config.backend in ("auto", "pallas")             and config.integration_method == "rk4":
+        from njw_tpu.ops.pe_stencil import (
+            make_pe_pallas_rk4_stepper, pe_pallas_supported,
+        )
+
+        if pe_pallas_supported(grid, params):
+            import jax
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if on_tpu or config.backend == "pallas":
+                stepper_factory = lambda _t: make_pe_pallas_rk4_stepper(
+                    grid, params, config.dt, interpret=not on_tpu)
+
     def output_fn(s):
         return {"u": s.u, "v": s.v, "T": s.T, "q": s.q, "ps": s.ps}
 
     sim = sim_cls(
         state0, tendency, dt=config.dt, method=config.integration_method,
-        grid=grid, output_fn=output_fn,
+        grid=grid, stepper_factory=stepper_factory, output_fn=output_fn,
     )
     sim.config = config
     return sim

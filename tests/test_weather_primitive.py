@@ -107,3 +107,52 @@ class TestSimulation:
         sim = Simulation.from_config(self._cfg(), "baroclinic")
         sim.run(10, output_interval=5)
         assert set(sim.snapshots[0]) >= {"u", "v", "T", "q", "ps"}
+
+
+class TestPEPallasKernel:
+    def test_stage_matches_xla(self):
+        """Fused PE tendency+axpy kernel == XLA path (interpret mode)."""
+        import jax
+
+        from njw_tpu.ops.pe_stencil import pe_stage_pallas
+
+        grid = GridSpec(nx=128, ny=32, levels=5, dx=1e5, dy=1e5)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+        out = pe_stage_pallas(s, s, grid=grid, c_dt=15.0, coriolis_f=1e-4,
+                              by=8, interpret=True)
+        t = pe_tendencies(s, grid, PARAMS)
+        ref = jax.tree.map(lambda b, k: b + 15.0 * k, s, t)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name)
+
+    def test_rk4_stepper_matches_xla_rk4(self):
+        import jax.numpy as jnp
+
+        from njw_tpu.ops.pe_stencil import make_pe_pallas_rk4_stepper
+        from njw_tpu.weather.integrators import make_stepper
+
+        grid = GridSpec(nx=128, ny=32, levels=4, dx=1e5, dy=1e5)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+        pallas_st = make_pe_pallas_rk4_stepper(grid, PARAMS, dt=30.0,
+                                               interpret=True)
+        _, out_p = pallas_st.step((), s, None)
+        xla_st = make_stepper("rk4", lambda x: pe_tendencies(x, grid, PARAMS))
+        _, out_x = xla_st.step((), s, jnp.float32(30.0))
+        for name in ("u", "v", "T", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_p, name)),
+                np.asarray(getattr(out_x, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name)
+
+    def test_supported_predicate(self):
+        from njw_tpu.ops.pe_stencil import pe_pallas_supported
+
+        assert pe_pallas_supported(
+            GridSpec(nx=512, ny=512, levels=20, dx=1e5, dy=1e5), PARAMS)
+        assert not pe_pallas_supported(
+            GridSpec(nx=100, ny=512, levels=20), PARAMS)  # nx%128
+        assert not pe_pallas_supported(
+            GridSpec(nx=512, ny=512, levels=20, bc="clamped"), PARAMS)
