@@ -45,15 +45,14 @@ HALO = 4  # rows of halo each side = chained stencil stages per step
 def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
     """Largest strip height whose ~18 live field buffers fit VMEM."""
     # Mosaic's scoped-vmem stack holds ~30 live strip-sized f32 buffers at
-    # the deepest point of the fused 4-stage computation (measured 17.1M at
-    # by=64/nx=2048). by=32 is the proven-compiling sweet spot on v5e and
-    # already exceeds the 96 B/pt roofline model; taller strips are a
-    # ROADMAP experiment.
+    # the deepest point of the fused 4-stage computation. With the
+    # pallas_call's 24M scoped-vmem cap, by=64 compiles at nx=2048 and
+    # measures 27% faster than by=32 (13.45G vs 10.6G pts/s on v5e).
     for by in (256, 128, 64, 32, 16, 8):
         if ny % by:
             continue
         strip_bytes = (by + 2 * HALO) * nx * 4
-        if 32 * strip_bytes <= int(vmem_bytes * 0.9):
+        if 32 * strip_bytes <= int(vmem_bytes * 1.4):
             return by
     return 8
 
