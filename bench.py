@@ -38,7 +38,17 @@ def _timed_steps(sim, n: int) -> float:
 
 
 def main() -> None:
+    import jax
     import numpy as np
+
+    # persistent compilation cache: this environment's remote compile takes
+    # minutes per executable; cached reruns are instant
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/njw_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without the option
+        pass
 
     from njw_tpu.platform.device import detect
     from njw_tpu.weather import SimConfig, Simulation
