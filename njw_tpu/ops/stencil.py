@@ -211,3 +211,59 @@ def pallas_supported(grid: GridSpec, params: PhysicsParams, model: str,
         and isinstance(params.viscosity, numbers.Number)
         and float(params.viscosity) == 0.0
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "nx", "dt", "gravity", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def swe_rk4_step_pallas_local(
+    u_p, v_p, h_p, *, ly: int, nx: int, dt: float, gravity: float = 9.81,
+    coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+):
+    """Fused RK4 step on an 8-row-halo-padded LOCAL block (ly+16, nx).
+
+    The multi-chip variant: a shard_map caller exchanges 8-row halos with
+    lax.ppermute, and this call runs the same fused kernel on the padded
+    block — no modular slab wrap (the halo rows ARE the neighbors). x must
+    be whole (1-D row decomposition). Returns the (ly, nx) interior step.
+    """
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        by = _pick_by(ly, nx, detect().vmem_bytes)
+    if ly % by or nx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
+    r = by // 8
+
+    kern = functools.partial(
+        swe_rk4_kernel, dt=float(dt), gravity=float(gravity),
+        coriolis_f=float(coriolis_f), dx=float(dx), dy=float(dy), by=by,
+    )
+    # center view starts 8 rows into the padded array (sliced outside so
+    # block indices stay integral); slabs index the padded array directly.
+    center = pl.BlockSpec((by, nx), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((8, nx), lambda i: (i * r, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((8, nx), lambda i: ((i + 1) * r + 1, 0),
+                       memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((ly, nx), jnp.float32)
+
+    u_c = jax.lax.slice_in_dim(u_p, 8, 8 + ly, axis=0)
+    v_c = jax.lax.slice_in_dim(v_p, 8, 8 + ly, axis=0)
+    h_c = jax.lax.slice_in_dim(h_p, 8, 8 + ly, axis=0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=[center, top, bot] * 3,
+        out_specs=(pl.BlockSpec((by, nx), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),) * 3,
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)

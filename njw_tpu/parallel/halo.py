@@ -113,7 +113,10 @@ def sharded_state(state, mesh: Mesh):
     (rows, cols) over ('y', 'x'); leading dims (e.g. levels) replicated."""
 
     def put(a):
-        spec = P(*([None] * (a.ndim - 2) + ["y", "x"]))
+        names = mesh.axis_names
+        y_ax = "y" if "y" in names else None
+        x_ax = "x" if "x" in names else None
+        spec = P(*([None] * (a.ndim - 2) + [y_ax, x_ax]))
         return jax.device_put(a, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, state)
@@ -336,6 +339,61 @@ def sharded_barotropic_step(
     from njw_tpu.weather.barotropic import BarotropicState as BS
 
     spec = BS(zeta=P("y", None))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def sharded_swe_step_pallas(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    n_steps: int = 1, interpret: bool = False,
+):
+    """Multi-chip SWE RK4 with the FUSED PALLAS KERNEL per shard: each
+    step exchanges 8-row halos over the 'y' ring (one ppermute pair per
+    field), then runs the whole 4-stage RK4 in one kernel pass on the
+    padded block. 1-D row decomposition (x whole per shard; the kernel's
+    lane rolls give periodic x for free).
+
+    This is the production fast path for multi-chip SWE: per-chip speed of
+    the fused kernel (~13G points/s on v5e) + ICI halo exchange.
+    """
+    import numbers
+
+    from njw_tpu.ops.stencil import swe_rk4_step_pallas_local
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("pallas sharded step requires periodic BC")
+    if not isinstance(params.coriolis_f, numbers.Number):
+        raise NotImplementedError("constant Coriolis f only")
+    n_dev = int(mesh.devices.size)
+    if grid.ny % n_dev:
+        raise ValueError(f"ny={grid.ny} not divisible by {n_dev} devices")
+    ly = grid.ny // n_dev
+    if ly % 8:
+        raise ValueError("per-shard rows must be a multiple of 8")
+
+    def pad8(f):
+        top = _ring_shift(f[-8:, :], "y", +1)
+        bot = _ring_shift(f[:8, :], "y", -1)
+        return jnp.concatenate([top, f, bot], axis=0)
+
+    def one_step(s: WeatherState) -> WeatherState:
+        u, v, h = swe_rk4_step_pallas_local(
+            pad8(s.u), pad8(s.v), pad8(s.h), ly=ly, nx=grid.nx,
+            dt=float(dt), gravity=float(params.gravity),
+            coriolis_f=float(params.coriolis_f), dx=float(grid.dx),
+            dy=float(grid.dy), interpret=interpret,
+        )
+        return WeatherState(u=u, v=v, h=h)
+
+    def local_steps(state: WeatherState) -> WeatherState:
+        def body(s, _):
+            return one_step(s), None
+
+        state, _ = lax.scan(body, state, None, length=n_steps)
+        return state
+
+    spec = WeatherState(u=P("y", None), v=P("y", None), h=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -187,3 +187,32 @@ class TestShardedBarotropic:
             np.asarray(sharded.zeta), np.asarray(sim.state.zeta),
             rtol=5e-4, atol=5e-5,
         )
+
+
+class TestShardedPallasSWE:
+    def test_matches_xla_sharded_and_single_device(self):
+        """The pallas-in-shard_map fast path == single-device result
+        (interpret-mode kernel on the CPU mesh)."""
+        from jax.sharding import Mesh
+        from njw_tpu.parallel.halo import sharded_swe_step_pallas
+
+        grid = GridSpec(nx=128, ny=64)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = make_initial_state("vortex", grid, strength=2.0)
+        s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("y",))
+        step = sharded_swe_step_pallas(grid, params, mesh, dt=0.01,
+                                       n_steps=10, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(grid_width=128, grid_height=64, dt=0.01,
+                        coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        sim.step(10)
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(sim.state.h),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sharded.u), np.asarray(sim.state.u),
+            rtol=1e-5, atol=1e-4)
