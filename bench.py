@@ -45,7 +45,7 @@ def main() -> None:
     # minutes per executable; cached reruns are instant
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          "/tmp/njw_jax_cache")
+                          "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — older jax without the option
         pass

@@ -12,7 +12,7 @@ charge-back. Constants are list-price ballparks, injectable via config.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
 from typing import Optional
 

@@ -10,9 +10,6 @@ from __future__ import annotations
 
 import html
 import os
-from typing import Optional
-
-import numpy as np
 
 
 def _plot_bars(results, key_fn, title, ylabel, path):

@@ -16,7 +16,7 @@ validate the *harness*, the driver's TPU runs produce the real curve).
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -7,15 +7,12 @@ builders.
 from __future__ import annotations
 
 from enum import Enum
-from typing import Optional
-
 import numpy as np
 
 from njw_tpu.geofinancial.geo_risk import (
-    GeospatialPortfolio, GeospatialRiskModel, SpatialRiskFactor, _normalize,
+    GeospatialPortfolio, SpatialRiskFactor, _normalize,
 )
 from njw_tpu.geofinancial.geo_risk import IDENTITY_TRANSFORM
-from njw_tpu.geospatial.dem import GeoTransform
 
 
 class ClimateHazardType(str, Enum):

@@ -6,7 +6,7 @@ ref: geo_risk.py:22 SpatialRiskFactor, :129 GeospatialRiskModel,
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

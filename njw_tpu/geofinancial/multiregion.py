@@ -7,8 +7,6 @@ RegionalPortfolio / RegionalRiskComparator (:56-964), grid helpers
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
-
 import numpy as np
 
 from njw_tpu.geofinancial.geo_risk import (

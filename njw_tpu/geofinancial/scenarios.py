@@ -6,8 +6,6 @@ ref: scenario_analysis.py:71 Scenario, :229 ScenarioSet,
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, Optional
-
 import numpy as np
 
 from njw_tpu.geofinancial.geo_risk import (

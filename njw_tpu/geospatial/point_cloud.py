@@ -10,7 +10,7 @@ ops), after which every operation is dense 2-D array math.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import IntEnum
 
 import jax

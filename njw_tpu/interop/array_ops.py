@@ -6,7 +6,7 @@ reference, SURVEY §0.1) and the DomainMapper/Connector patterns
 """
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ of hand-written force algebra).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

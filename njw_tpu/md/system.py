@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from njw_tpu.utils.pytree import pytree_dataclass, static_field
+from njw_tpu.utils.pytree import pytree_dataclass
 
 KB = 1.0  # reduced units
 

@@ -6,9 +6,6 @@ The carry holds the cached acceleration (leapfrog/verlet evaluate forces
 once per step by reusing the previous step's kick)."""
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
 from njw_tpu.nbody.forces import accelerations
 from njw_tpu.nbody.system import NBodySystem
 from njw_tpu.weather.integrators import Stepper

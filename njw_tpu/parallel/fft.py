@@ -16,13 +16,12 @@ anything, SURVEY §5.8).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from njw_tpu.ops.spectral import _fd_wavenumbers_np
 

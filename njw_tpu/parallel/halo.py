@@ -23,9 +23,6 @@ shards (ref CPU stencil behavior, weather_simulation.cpp:509-513).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

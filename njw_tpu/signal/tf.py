@@ -10,7 +10,6 @@ does the same, time_frequency.cpp).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

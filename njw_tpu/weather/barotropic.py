@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from njw_tpu.ops.spectral import poisson_solve
 from njw_tpu.utils.pytree import pytree_dataclass
 from njw_tpu.weather.dynamics import d_dx, d_dy, diagnostics, laplacian
-from njw_tpu.weather.grid import GridSpec, PhysicsParams, WeatherState
+from njw_tpu.weather.grid import GridSpec, PhysicsParams
 
 
 @pytree_dataclass
