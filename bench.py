@@ -8,13 +8,15 @@ The reference publishes no measured weather numbers (SURVEY §6), so
 roofline the BASELINE targets at >=0.70. SoL model: an RK4 step is 4
 stencil stages; a perfectly fused stage streams 3 fields in + 3 out at
 4 B/point (f32) = 96 B/point/step. sol_steps_per_s = BW / (96 * npoints).
-(The fused Pallas kernel's true traffic is ~26 B/point, so >1.0 is
-reachable.)
 
-Measurement notes (this backend's async queue can report readiness
-early): timing is differential — run N steps and 2N steps, each hard-
-synced by a device-to-host copy, and use t(2N) - t(N) so constant
-overheads (dispatch, D2H) cancel.
+Measurement notes (this backend's async queue can report readiness early
+and remote compiles take minutes): ONE scan executable is compiled; one
+call and three chained calls of it are each timed with a hard D2H sync,
+and (t3 - t1)/2 gives the per-chunk cost with the constant sync/dispatch
+overhead of the measurement itself cancelled. This conservatively includes
+real per-invocation cost (production runs also invoke chunk-wise); the
+overhead-free kernel throughput (scan-length differential) is recorded in
+BENCH_NOTES.md.
 """
 from __future__ import annotations
 
@@ -23,29 +25,16 @@ import time
 
 
 GRID = 2048
-STEPS = 100
-DT = 0.002  # CFL-safe at 2048^2 for the weak vortex used here
-
-
-def _timed_steps(sim, n: int) -> float:
-    """Seconds for n steps, hard-synced via D2H of one field."""
-    import numpy as np
-
-    t0 = time.perf_counter()
-    sim.step(n)
-    _ = np.asarray(sim.state.h[:8, :8])  # D2H forces real completion
-    return time.perf_counter() - t0
+STEPS = 500
+DT = 0.001  # CFL-safe at 2048^2 for the weak vortex used here
 
 
 def main() -> None:
     import jax
     import numpy as np
 
-    # persistent compilation cache: this environment's remote compile takes
-    # minutes per executable; cached reruns are instant
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — older jax without the option
         pass
@@ -58,16 +47,22 @@ def main() -> None:
                     integration_method="rk4", coriolis_f=1e-4)
     sim = Simulation.from_config(cfg, "vortex", strength=2.0)
 
-    # compile + warm-up both chunk lengths (a scan length is part of the
-    # compiled executable)
-    _timed_steps(sim, STEPS)
-    _timed_steps(sim, 2 * STEPS)
+    def sync():
+        _ = np.asarray(sim.state.h[:8, :8])  # D2H forces real completion
 
-    t_short = _timed_steps(sim, STEPS)
-    t_long = _timed_steps(sim, 2 * STEPS)
+    def timed(n_chunks: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            sim.step(STEPS)
+        sync()
+        return time.perf_counter() - t0
+
+    timed(1)  # single compile (one scan length) + warm-up
+    t_one = timed(1)
+    t_three = timed(3)
     assert bool(np.isfinite(np.asarray(sim.state.h)).all())
 
-    elapsed = max(t_long - t_short, 1e-9)  # = STEPS steps of pure compute
+    elapsed = max((t_three - t_one) / 2.0, 1e-9)  # one STEPS-chunk
     steps_per_s = STEPS / elapsed
     gps = GRID * GRID * steps_per_s
 
@@ -79,7 +74,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"SWE {GRID}x{GRID} RK4 grid-points/s (1 chip, "
-                  f"{caps.generation})",
+                  f"{caps.generation}, {sim.stepper.name})",
         "value": round(gps, 1),
         "unit": "grid-points/s",
         "vs_baseline": round(vs_sol, 4),
