@@ -267,3 +267,115 @@ def swe_rk4_step_pallas_local(
             vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)
+
+
+def _swe_rk4_multi_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
+                          u_o, v_o, h_o, *, dt: float, gravity: float,
+                          coriolis_f: float, dx: float, dy: float, by: int,
+                          n_fused: int):
+    """n_fused chained RK4 steps in one VMEM residency.
+
+    Halo = 4 * n_fused rows each side (the full 8-row slabs cover
+    n_fused=2). Validity shrinks 4 rows per fused step; the output crop
+    lands exactly on the interior strip. Doubles arithmetic per HBM
+    round-trip — profitable when the kernel is bandwidth/overhead bound.
+    """
+    cx = 0.5 / dx
+    cy = 0.5 / dy
+    g = gravity
+    f = coriolis_f
+    halo = 4 * n_fused
+
+    u = jnp.concatenate([u_t[8 - halo:8], u_c[:], u_b[0:halo]], axis=0)
+    v = jnp.concatenate([v_t[8 - halo:8], v_c[:], v_b[0:halo]], axis=0)
+    h = jnp.concatenate([h_t[8 - halo:8], h_c[:], h_b[0:halo]], axis=0)
+
+    def sx(a, s):
+        return pltpu.roll(a, (-s) % a.shape[1], 1)
+
+    def sy(a, s):
+        return pltpu.roll(a, (-s) % a.shape[0], 0)
+
+    def tendency(uu, vv, hh):
+        u_x = (sx(uu, 1) - sx(uu, -1)) * cx
+        u_y = (sy(uu, 1) - sy(uu, -1)) * cy
+        v_x = (sx(vv, 1) - sx(vv, -1)) * cx
+        v_y = (sy(vv, 1) - sy(vv, -1)) * cy
+        h_x = (sx(hh, 1) - sx(hh, -1)) * cx
+        h_y = (sy(hh, 1) - sy(hh, -1)) * cy
+        du = -uu * u_x - vv * u_y - g * h_x + f * vv
+        dv = -uu * v_x - vv * v_y - g * h_y - f * uu
+        dh = -hh * (u_x + v_y) - uu * h_x - vv * h_y
+        return du, dv, dh
+
+    half = 0.5 * dt
+    third = 1.0 / 3.0
+    sixth = dt / 6.0
+    for _ in range(n_fused):
+        du, dv, dh = tendency(u, v, h)
+        cu, cv, ch = u + half * du, v + half * dv, h + half * dh
+        au, av, ah = cu - u, cv - v, ch - h
+        du, dv, dh = tendency(cu, cv, ch)
+        cu, cv, ch = u + half * du, v + half * dv, h + half * dh
+        au, av, ah = au + 2.0 * cu, av + 2.0 * cv, ah + 2.0 * ch
+        du, dv, dh = tendency(cu, cv, ch)
+        cu, cv, ch = u + dt * du, v + dt * dv, h + dt * dh
+        au, av, ah = au + cu, av + cv, ah + ch
+        du, dv, dh = tendency(cu, cv, ch)
+        u = au * third + sixth * du
+        v = av * third + sixth * dv
+        h = ah * third + sixth * dh
+
+    u_o[:] = u[halo:halo + by, :]
+    v_o[:] = v[halo:halo + by, :]
+    h_o[:] = h[halo:halo + by, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "gravity", "coriolis_f", "by", "n_fused",
+                     "interpret"),
+)
+def swe_rk4_multistep_pallas(
+    u, v, h, *, grid: GridSpec, dt: float, gravity: float = 9.81,
+    coriolis_f: float = 0.0, by: Optional[int] = None, n_fused: int = 2,
+    interpret: bool = False,
+):
+    """n_fused fused RK4 steps per HBM round-trip (n_fused <= 2: the
+    8-row neighbor slabs bound the halo at 8 rows)."""
+    ny, nx = grid.ny, grid.nx
+    if nx % 128 or grid.bc != "periodic":
+        raise ValueError("nx%128==0 and periodic BC required")
+    if not 1 <= n_fused <= 2:
+        raise ValueError("n_fused must be 1 or 2 (8-row slab halo bound)")
+    if by is None:
+        by = 32 if ny % 32 == 0 else 8
+    if ny % by:
+        raise ValueError(f"ny={ny} not divisible by {by}")
+    nby = ny // 8
+    r = by // 8
+
+    kern = functools.partial(
+        _swe_rk4_multi_kernel, dt=float(dt), gravity=float(gravity),
+        coriolis_f=float(coriolis_f), dx=float(grid.dx), dy=float(grid.dy),
+        by=by, n_fused=n_fused,
+    )
+    center = pl.BlockSpec((by, nx), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((8, nx), lambda i: ((i * r - 1) % nby, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((8, nx), lambda i: ((i * r + r) % nby, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        grid=(ny // by,),
+        in_specs=[center, top, bot] * 3,
+        out_specs=(out, out, out),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(u, u, u, v, v, v, h, h, h)

@@ -104,3 +104,20 @@ def test_pick_by_respects_vmem():
     # 64-row strips; tiny grids still get valid divisors
     assert _pick_by(2048, 2048, 16 << 20) == 64
     assert _pick_by(64, 128, 16 << 20) >= 8
+
+
+def test_multistep_fused_matches_two_single_steps():
+    """2 fused RK4 steps == 2 applications of the 1-step kernel exactly."""
+    from njw_tpu.ops.stencil import swe_rk4_multistep_pallas
+
+    s = make_initial_state("vortex", GRID, strength=2.0)
+    dt = 0.01
+    u, v, h = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=dt,
+                                  coriolis_f=1e-4, by=16, interpret=True)
+    u, v, h = swe_rk4_step_pallas(u, v, h, grid=GRID, dt=dt,
+                                  coriolis_f=1e-4, by=16, interpret=True)
+    u2, v2, h2 = swe_rk4_multistep_pallas(
+        s.u, s.v, s.h, grid=GRID, dt=dt, coriolis_f=1e-4, by=16,
+        n_fused=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(h))
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u))
