@@ -35,6 +35,17 @@ class CostModel:
     def hourly_rate(self) -> float:
         raise NotImplementedError
 
+    def fixed_cost(self) -> float:
+        """Upfront capital (0 for pure pay-as-you-go models). Break-even
+        analysis is only meaningful between models whose fixed/variable
+        structures differ (ADVICE r1)."""
+        return 0.0
+
+    def variable_hourly_rate(self) -> float:
+        """Marginal $/hour once the fixed cost is sunk (== hourly_rate for
+        pay-as-you-go models)."""
+        return self.hourly_rate()
+
     def cost_of(self, seconds: float) -> dict:
         rate = self.hourly_rate()
         cost = rate * seconds / 3600.0
@@ -69,9 +80,14 @@ class OnPremTPUCostModel(CostModel):
         hours = self.amortization_months * 30 * 24 * self.utilization
         capital = self.node_cost * self.nodes * (
             1 + self.maintenance_factor) / hours
-        power = self.power_watts * self.nodes / 1000.0 \
+        return capital + self.variable_hourly_rate()
+
+    def fixed_cost(self) -> float:
+        return self.node_cost * self.nodes * (1 + self.maintenance_factor)
+
+    def variable_hourly_rate(self) -> float:
+        return self.power_watts * self.nodes / 1000.0 \
             * self.power_cost_per_kwh
-        return capital + power
 
 
 @dataclass
@@ -165,9 +181,30 @@ def compare_costs(seconds_per_env: dict, models: Optional[dict] = None,
     ranked = sorted(rows.items(), key=lambda kv: kv[1]["execution_cost"])
     out = {"environments": rows, "cheapest": ranked[0][0]}
     if len(ranked) >= 2:
-        (n0, c0), (n1, c1) = ranked[0], ranked[1]
-        dr = c1["hourly_rate"] - c0["hourly_rate"]
-        out["break_even_hours"] = (0.0 if dr <= 0 else
-                                   (c0["execution_cost"]
-                                    - c1["execution_cost"]) / dr)
+        out["break_even_hours"] = break_even_hours(
+            _model_for(ranked[0][0], models),
+            _model_for(ranked[1][0], models))
     return out
+
+
+def _model_for(env_name: str, models: Optional[dict]) -> CostModel:
+    if models:
+        for k, m in models.items():
+            if str(getattr(k, "value", k)) == env_name:
+                return m
+    return CostModelFactory.create(env_name)
+
+
+def break_even_hours(a: CostModel, b: CostModel) -> Optional[float]:
+    """Hours of use at which cumulative costs (fixed + variable*t) of two
+    models cross. None when the structures never cross — e.g. two pure
+    hourly-rate models, where a negative 'break-even' would be meaningless
+    (ADVICE r1). The model with the larger fixed cost must have the lower
+    variable rate for a crossover to exist."""
+    if a.fixed_cost() < b.fixed_cost():
+        a, b = b, a  # a: high-fixed candidate
+    d_fixed = a.fixed_cost() - b.fixed_cost()
+    d_rate = b.variable_hourly_rate() - a.variable_hourly_rate()
+    if d_fixed <= 0.0 or d_rate <= 0.0:
+        return None
+    return d_fixed / d_rate

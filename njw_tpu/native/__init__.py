@@ -46,7 +46,10 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib, _load_error
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # Always run make: it is a no-op when the .so is newer than the
+    # sources, and it guarantees we never load a stale or foreign-built
+    # (-march=native elsewhere) binary (ADVICE r1).
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -81,7 +81,7 @@ def main(argv=None) -> int:
         }))
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
-        sim.save_state(os.path.join(args.output_dir, "final_state.json"))
+        sim.save_state(os.path.join(args.output_dir, "final_state.npz"))
         if args.save_visualization:
             import numpy as np
 

@@ -3,7 +3,6 @@ step/run with callback interval, perf metrics, save/load state,
 visualization data)."""
 from __future__ import annotations
 
-import json
 import time
 from typing import Callable, Optional
 
@@ -95,35 +94,40 @@ class NBodySimulation:
         return m
 
     def save_state(self, path: str) -> str:
-        """JSON state dump (ref: simulation.py:157-188 format role)."""
-        payload = {
-            "time": self.time,
-            "step_count": self.step_count,
-            "dt": self.dt,
-            "integrator": self.integrator_name,
-            "G": float(self.system.G),
-            "softening": float(self.system.softening),
-            "pos": np.asarray(self.system.pos).tolist(),
-            "vel": np.asarray(self.system.vel).tolist(),
-            "mass": np.asarray(self.system.mass).tolist(),
-        }
-        with open(path, "w") as fh:
-            json.dump(payload, fh)
+        """npz state dump with the reference's key names
+        (ref: simulation.py:157-188 uses np.savez with
+        positions/velocities/masses/ids/time/step/dt/G)."""
+        n = int(self.system.pos.shape[0])
+        np.savez(
+            path,
+            positions=np.asarray(self.system.pos),
+            velocities=np.asarray(self.system.vel),
+            masses=np.asarray(self.system.mass),
+            ids=np.arange(n, dtype=np.int64),
+            time=self.time,
+            step=self.step_count,
+            dt=self.dt,
+            G=float(self.system.G),
+            softening=float(self.system.softening),
+            integrator=self.integrator_name,
+        )
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         return path
 
     @classmethod
     def load_state(cls, path: str, **kwargs) -> "NBodySimulation":
-        with open(path) as fh:
-            d = json.load(fh)
+        d = np.load(path, allow_pickle=False)
         system = NBodySystem(
-            pos=jnp.asarray(d["pos"], jnp.float32),
-            vel=jnp.asarray(d["vel"], jnp.float32),
-            mass=jnp.asarray(d["mass"], jnp.float32),
-            G=d["G"], softening=d["softening"],
+            pos=jnp.asarray(d["positions"], jnp.float32),
+            vel=jnp.asarray(d["velocities"], jnp.float32),
+            mass=jnp.asarray(d["masses"], jnp.float32),
+            G=float(d["G"]), softening=float(d["softening"]),
         )
-        sim = cls(system, integrator=d["integrator"], dt=d["dt"], **kwargs)
-        sim.time = d["time"]
-        sim.step_count = d["step_count"]
+        sim = cls(system, integrator=str(d["integrator"]),
+                  dt=float(d["dt"]), **kwargs)
+        sim.time = float(d["time"])
+        sim.step_count = int(d["step"])
         return sim
 
     def visualization_data(self) -> dict:

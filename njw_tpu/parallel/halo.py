@@ -141,13 +141,27 @@ def sharded_swe_step(
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
     bc = grid.bc
+    beta = params.beta
+    use_beta = not (isinstance(beta, (int, float)) and beta == 0.0)
+
+    def local_params():
+        """Per-shard physics params; beta-plane f becomes a (ly, 1) field
+        sliced by the shard's global row offset (matches the whole-domain
+        dynamics.coriolis_field: f0 + beta*(y/(ny-1) - 1/2))."""
+        if not use_beta:
+            return params
+        iy = lax.axis_index("y")
+        rows = jnp.float32(iy * ly) + jnp.arange(ly, dtype=jnp.float32)
+        y_norm = rows[:, None] / max(grid.ny - 1, 1)
+        return params.replace(
+            coriolis_f=params.coriolis_f + beta * (y_norm - 0.5))
 
     def local_tendency(s: WeatherState) -> WeatherState:
         up = halo_pad_2d(s.u, 1, bc=bc)
         vp = halo_pad_2d(s.v, 1, bc=bc)
         hp = halo_pad_2d(s.h, 1, bc=bc)
         du, dv, dh = swe_tendencies_from_shifts(
-            up, vp, hp, shift, grid, params, interior=crop
+            up, vp, hp, shift, grid, local_params(), interior=crop
         )
         return WeatherState(u=du, v=dv, h=dh)
 

@@ -1,7 +1,7 @@
 """Checkpoint / restore for simulation state.
 
 The recovery primitive of the framework (SURVEY §5.4): the reference has
-JSON save/load for n-body (ref: src/nbody_sim/python/simulation.py:157-190)
+npz save/load for n-body (ref: src/nbody_sim/python/simulation.py:157-190)
 and MD (ref: molecular_dynamics.py:322-330) but NO weather resume at all.
 Here every workload checkpoints through one API:
 

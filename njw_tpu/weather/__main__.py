@@ -123,6 +123,14 @@ def _validate(args) -> int:
     from njw_tpu.weather.grid import GridSpec
     from njw_tpu.weather.oracle import SWEOracle
 
+    if args.method not in ("euler", "rk2", "rk4", "adams_bashforth"):
+        # semi_implicit has no matching oracle integrator; comparing it
+        # against an RK4 oracle run would spuriously fail (ADVICE r1)
+        print(json.dumps({"error": f"--validate does not support "
+                          f"--method {args.method}: the oracle integrates "
+                          "explicitly; use euler/rk2/rk4/adams_bashforth"}))
+        return 2
+
     n = min(args.width, 128)
     steps = min(args.steps, 200)
     grid = GridSpec(nx=n, ny=n, bc=args.bc)
@@ -135,8 +143,7 @@ def _validate(args) -> int:
     ic_kw = {"strength": 2.0} if args.initial == "vortex" else {}
     sim = Simulation.from_config(cfg, args.initial, **ic_kw)
     sim.step(steps)
-    method = args.method if args.method in ("euler", "rk2", "rk4",
-                                            "adams_bashforth") else "rk4"
+    method = args.method
     u, v, h = SWEOracle(bc=args.bc, coriolis_f=args.coriolis).run(
         (np.asarray(s0.u), np.asarray(s0.v), np.asarray(s0.h)),
         args.dt, steps, method)

@@ -56,7 +56,19 @@ class TestCostModels:
             ComputeEnvironment.CLOUD_TPU: 50.0,
         })
         assert out["cheapest"] in ("on_prem_tpu", "cloud_tpu")
-        assert "break_even_hours" in out
+        # on-prem (capital + low marginal rate) vs cloud (pure hourly)
+        # genuinely cross, so break-even must be a positive hour count
+        assert out["break_even_hours"] is not None
+        assert out["break_even_hours"] > 0
+
+    def test_break_even_none_for_pure_hourly_pair(self):
+        """Two pay-as-you-go models never cross: no fake negative
+        break-even (ADVICE r1)."""
+        out = compare_costs({
+            ComputeEnvironment.CLOUD_TPU: 50.0,
+            ComputeEnvironment.CLOUD_GPU: 50.0,
+        })
+        assert out["break_even_hours"] is None
 
 
 class TestBenchmarkResult:

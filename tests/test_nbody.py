@@ -133,7 +133,7 @@ class TestSimulation:
         sim = NBodySimulation(create_random_system(32, seed=9),
                               integrator="verlet", dt=0.02)
         sim.step(10)
-        p = sim.save_state(str(tmp_path / "state.json"))
+        p = sim.save_state(str(tmp_path / "state.npz"))
         sim2 = NBodySimulation.load_state(p)
         assert sim2.step_count == 10 and sim2.integrator_name == "verlet"
         np.testing.assert_allclose(np.asarray(sim2.system.pos),
@@ -158,5 +158,5 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["particles"] == 64 and out["steps"] == 10
-    assert (tmp_path / "final_state.json").exists()
+    assert (tmp_path / "final_state.npz").exists()
     assert (tmp_path / "visualization.npz").exists()

@@ -101,6 +101,35 @@ class TestShardedStep:
             rtol=1e-5, atol=1e-5,
         )
 
+    @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
+    def test_beta_plane_matches_single_device(self, mesh_shape):
+        """Regression (ADVICE r1): sharded step must apply the beta-plane
+        Coriolis field, not silently drop it."""
+        grid = GridSpec(nx=32, ny=32)
+        params = PhysicsParams(coriolis_f=1e-4, beta=0.5)
+        state0 = make_initial_state("vortex", grid, strength=2.0)
+        state0 = WeatherState(u=state0.u, v=state0.v, h=state0.h)
+
+        mesh = _mesh(*mesh_shape)
+        step = sharded_swe_step(grid, params, mesh, dt=0.01, method="rk4",
+                                n_steps=20)
+        sharded = step(sharded_state(state0, mesh))
+
+        cfg = SimConfig(grid_width=32, grid_height=32, dt=0.01,
+                        coriolis_f=1e-4, beta=0.5)
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        sim.step(20)
+
+        np.testing.assert_allclose(
+            np.asarray(sharded.u), np.asarray(sim.state.u),
+            rtol=1e-5, atol=1e-5,
+        )
+        # and it must differ from the beta=0 run (the r1 failure mode)
+        step0 = sharded_swe_step(grid, PhysicsParams(coriolis_f=1e-4), mesh,
+                                 dt=0.01, method="rk4", n_steps=20)
+        nobeta = step0(sharded_state(state0, mesh))
+        assert np.abs(np.asarray(sharded.u) - np.asarray(nobeta.u)).max() > 1e-4
+
     def test_determinism_across_step_partitions(self):
         """20 steps in one call == 2 calls of 10 (donation/aliasing safety)."""
         grid = GridSpec(nx=32, ny=32)
