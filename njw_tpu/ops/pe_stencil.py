@@ -6,24 +6,39 @@ intermediate round-trips HBM. This kernel computes one full tendency stage
 
     out = base + c * T(cur)
 
-in a single pass over y-strips with all levels resident in VMEM:
-read cur (4L+1 fields) + base, write out — ~250 MB per stage at
-512^2 x 20 instead of ~2.3 GB.
+in a single pass over (by, bx) blocks with all levels resident in VMEM:
+read cur (4L+1 fields) + base, write out — one HBM round-trip per stage.
 
-Layout: 3-D fields are (L, by, nx) strips with two (L, 8, nx) neighbor
-slabs for the 1-row y halo (single-stage kernel => halo 1; the validity
-of edge rows shrinks by one, exactly covering the interior output).
-x wraps periodically via in-VMEM lane rolls. Vertical sums/cumsums are
-unrolled Python loops over the static L.
+Layout (r2: 2-D x-blocked so BASELINE config 5, 2048^2 x 40, fits VMEM):
+3-D fields are (L, by, bx) blocks. Halos:
+  * y: two (L, 8, bx) neighbor slabs (1 valid row each; 8 for sublane
+    tiling) — validity shrinks by one row, exactly covering the interior.
+  * x: two (L, by, 128) neighbor slabs (1 valid lane each; 128 for lane
+    tiling). x shifts are in-VMEM lane rolls over the padded width; the
+    outer halo lanes become garbage and are cropped at the output. The
+    y-halo rows get self-wrapped (finite but wrong) x padding — their
+    x-shifted values only feed cropped rows (no corner dependence in the
+    1-halo stage stencil).
+
+Vertical structure per block: a forward pass accumulates the per-level
+flux divergence (the only level-indexed persistent list); the tendency
+pass then runs BOTTOM-UP carrying the hydrostatic geopotential and the
+lower-interface sigma-dot incrementally, so phi/sigdot never materialize
+as L-length lists (r1 held 3 such lists — the VMEM ceiling that blocked
+config 5).
 
 Eligibility: periodic BC, constant f, viscosity 0 (fall back to the XLA
-path otherwise) and VMEM budget permitting (L * nx bounded — checked by
-``pe_pallas_supported``).
+path otherwise) and a (by, bx) block fitting the physical VMEM budget
+(``pe_pallas_supported``).
+
+ref: the reference declares PrimitiveEquations and falls back to SWE
+(weather_simulation.cpp:552-560); this kernel is the TPU-native
+realization of the capability at BASELINE configs 4-5 scale.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,32 +49,50 @@ from jax.experimental.pallas import tpu as pltpu
 from njw_tpu.weather.grid import GridSpec, PhysicsParams
 from njw_tpu.weather.primitive import KAPPA, R_DRY, PEState
 
+LANE = 128  # x halo slab width (lane tile)
+
 
 def _pe_stage_kernel(
-    # cur state (center + top/bottom slabs per field)
-    u_c, u_t, u_b, v_c, v_t, v_b, T_c, T_t, T_b, q_c, q_t, q_b,
-    ps_c, ps_t, ps_b,
+    # cur state: per field (center, y-top, y-bottom, x-left, x-right)
+    u_c, u_t, u_b, u_l, u_r,
+    v_c, v_t, v_b, v_l, v_r,
+    T_c, T_t, T_b, T_l, T_r,
+    q_c, q_t, q_b, q_l, q_r,
+    ps_c, ps_t, ps_b, ps_l, ps_r,
     # base state (center only — combined on the valid interior)
     bu, bv, bT, bq, bps,
     # outputs
     ou, ov, oT, oq, ops,
-    *, L: int, by: int, dx: float, dy: float, f: float, c_dt: float,
+    *, L: int, by: int, bx: int, dx: float, dy: float, f: float,
+    c_dt: float,
 ):
     cx = 0.5 / dx
     cy = 0.5 / dy
     dsig = 1.0 / L
 
-    def pad3(c, t, b):
-        return jnp.concatenate([t[:, 7:8, :], c[:], b[:, 0:1, :]], axis=1)
+    def pad3(c, t, b, xl, xr):
+        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=2)
+        top = t[:, 7:8, :]
+        bot = b[:, 0:1, :]
+        # self-wrapped x pad for the halo rows: finite, consumed only by
+        # cropped outputs (no corner terms in the stage stencil)
+        top = jnp.concatenate([top[..., -LANE:], top, top[..., :LANE]], 2)
+        bot = jnp.concatenate([bot[..., -LANE:], bot, bot[..., :LANE]], 2)
+        return jnp.concatenate([top, mid, bot], axis=1)  # (L, by+2, bx+256)
 
-    def pad2(c, t, b):
-        return jnp.concatenate([t[7:8, :], c[:], b[0:1, :]], axis=0)
+    def pad2(c, t, b, xl, xr):
+        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=1)
+        top = t[7:8, :]
+        bot = b[0:1, :]
+        top = jnp.concatenate([top[..., -LANE:], top, top[..., :LANE]], 1)
+        bot = jnp.concatenate([bot[..., -LANE:], bot, bot[..., :LANE]], 1)
+        return jnp.concatenate([top, mid, bot], axis=0)  # (by+2, bx+256)
 
-    u = pad3(u_c, u_t, u_b)
-    v = pad3(v_c, v_t, v_b)
-    T = pad3(T_c, T_t, T_b)
-    q = pad3(q_c, q_t, q_b)
-    ps = pad2(ps_c, ps_t, ps_b)   # (by+2, nx)
+    u = pad3(u_c, u_t, u_b, u_l, u_r)
+    v = pad3(v_c, v_t, v_b, v_l, v_r)
+    T = pad3(T_c, T_t, T_b, T_l, T_r)
+    q = pad3(q_c, q_t, q_b, q_l, q_r)
+    ps = pad2(ps_c, ps_t, ps_b, ps_l, ps_r)
 
     def sx(a, s):
         return pltpu.roll(a, (-s) % a.shape[-1], a.ndim - 1)
@@ -77,46 +110,46 @@ def _pe_stage_kernel(
     lnps_x = ddx(lnps)
     lnps_y = ddy(lnps)
 
-    # per-level flux divergence, running sum and cumulative list
+    # forward pass: per-level flux divergence, cumulative list
     flux_sum = None
     cum = []
     for kk in range(L):
         fd = ddx(ps * u[kk]) + ddy(ps * v[kk])
         flux_sum = fd if flux_sum is None else flux_sum + fd
         cum.append(flux_sum)
-    dps = -flux_sum * dsig                       # (by+2, nx)
+    dps = -flux_sum * dsig                       # (by+2, bx+256)
 
-    # sigma-dot at interfaces 1..L-1 (0 at top/bottom)
     inv_ps = 1.0 / ps
-    sdot_half = [None] * (L + 1)
-    for kk in range(1, L):
-        sig_h = kk / L
-        sdot_half[kk] = (-sig_h * dps - cum[kk - 1] * dsig) * inv_ps
+    dps_over_ps = dps * inv_ps
     zero = jnp.zeros_like(dps)
-    sdot_half[0] = zero
-    sdot_half[L] = zero
 
-    # hydrostatic geopotential (full levels, integrating up from bottom)
+    def sdot_half(kk):
+        """sigma-dot at interface kk (0..L); 0 at top/bottom."""
+        if kk == 0 or kk == L:
+            return zero
+        sig_h = kk / L
+        return (-sig_h * dps - cum[kk - 1] * dsig) * inv_ps
+
     sig = [(kk + 0.5) / L for kk in range(L)]
-    phi = [None] * L
-    phi[L - 1] = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]
-    for kk in range(L - 2, -1, -1):
-        thick = (R_DRY * 0.5 * np.log(sig[kk + 1] / sig[kk]))
-        phi[kk] = phi[kk + 1] + thick * (T[kk] + T[kk + 1])
-
     inv2dsig = 0.5 / dsig
 
-    for kk in range(L):
+    def crop(a):
+        return a[1:1 + by, LANE:LANE + bx]
+
+    # bottom-up tendency pass with carried geopotential phi and carried
+    # lower-interface sigma-dot (identical arithmetic to the XLA path,
+    # hydrostatic_geopotential / pe_tendencies_from_shifts)
+    phi = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]   # phi at level L-1
+    sd_dn = zero                                       # interface L
+    for kk in range(L - 1, -1, -1):
+        sd_up = sdot_half(kk)
         uk, vk, Tk, qk = u[kk], v[kk], T[kk], q[kk]
         u_x, u_y = ddx(uk), ddy(uk)
         v_x, v_y = ddx(vk), ddy(vk)
         T_x, T_y = ddx(Tk), ddy(Tk)
         q_x, q_y = ddx(qk), ddy(qk)
-        phi_x, phi_y = ddx(phi[kk]), ddy(phi[kk])
+        phi_x, phi_y = ddx(phi), ddy(phi)
 
-        # vertical advection, interface form
-        sd_up = sdot_half[kk]       # k-1/2
-        sd_dn = sdot_half[kk + 1]   # k+1/2
         u_up = (u[kk] - u[kk - 1]) if kk > 0 else zero
         u_dn = (u[kk + 1] - u[kk]) if kk < L - 1 else zero
         v_up = (v[kk] - v[kk - 1]) if kk > 0 else zero
@@ -135,30 +168,48 @@ def _pe_stage_kernel(
         dv = (-uk * v_x - vk * v_y - vadv_v - f * uk
               - phi_y - R_DRY * Tk * lnps_y)
 
-        dlnps_adv = dps * inv_ps + uk * lnps_x + vk * lnps_y
+        dlnps_adv = dps_over_ps + uk * lnps_x + vk * lnps_y
         sdot_full = 0.5 * (sd_up + sd_dn)
         omega_over_p = sdot_full / sig[kk] + dlnps_adv
         dT = (-uk * T_x - vk * T_y - vadv_T
               + KAPPA * Tk * omega_over_p)
         dq = -uk * q_x - vk * q_y - vadv_q
 
-        # combine with base on the valid interior rows [1, by+1)
-        ou[kk, :, :] = bu[kk] + c_dt * du[1:1 + by, :]
-        ov[kk, :, :] = bv[kk] + c_dt * dv[1:1 + by, :]
-        oT[kk, :, :] = bT[kk] + c_dt * dT[1:1 + by, :]
-        oq[kk, :, :] = bq[kk] + c_dt * dq[1:1 + by, :]
+        ou[kk, :, :] = bu[kk] + c_dt * crop(du)
+        ov[kk, :, :] = bv[kk] + c_dt * crop(dv)
+        oT[kk, :, :] = bT[kk] + c_dt * crop(dT)
+        oq[kk, :, :] = bq[kk] + c_dt * crop(dq)
 
-    ops[:, :] = bps[:] + c_dt * dps[1:1 + by, :]
+        if kk > 0:
+            thick = R_DRY * 0.5 * np.log(sig[kk] / sig[kk - 1])
+            phi = phi + thick * (T[kk - 1] + T[kk])
+            sd_dn = sd_up
+
+    ops[:, :] = bps[:] + c_dt * crop(dps)
 
 
-def _pick_by(L: int, ny: int, nx: int, vmem_bytes: int) -> Optional[int]:
-    """Strip height: ~3.2x the (4L+1)-field input footprint must fit."""
-    for by in (32, 16, 8):
-        if ny % by:
-            continue
-        strip = (by + 16) * nx * 4
-        if 3.2 * (4 * L + 1) * strip <= vmem_bytes * 0.9:
-            return by
+def _vmem_estimate(L: int, by: int, bx: int) -> int:
+    """Conservative bytes for one block's residency: double-buffered I/O
+    blocks + the cum list + ~28 live (by+2, bx+256) temporaries."""
+    cur3 = L * (by * bx + 2 * 8 * bx + 2 * by * LANE)
+    cur2 = by * bx + 2 * 8 * bx + 2 * by * LANE
+    base_out = 2 * (4 * L * by * bx + by * bx)
+    io = (4 * cur3 + cur2 + base_out) * 4
+    persist = (L + 28) * (by + 2) * (bx + 2 * LANE) * 4
+    return 2 * io + persist
+
+
+def _pick_blocks(L: int, ny: int, nx: int,
+                 vmem_budget: int) -> Optional[Tuple[int, int]]:
+    """Largest (by, bx) block fitting the budget; prefers full rows
+    (x whole => no x-slab HBM overhead), then splits x."""
+    bys = [b for b in (32, 16, 8) if ny % b == 0]
+    bxs = [b for b in (nx, 2048, 1024, 512, 256, 128)
+           if b <= nx and nx % b == 0 and b % 128 == 0]
+    for by in bys:
+        for bx in bxs:
+            if _vmem_estimate(L, by, bx) <= vmem_budget:
+                return by, bx
     return None
 
 
@@ -167,6 +218,7 @@ def pe_pallas_supported(grid: GridSpec, params: PhysicsParams) -> bool:
 
     from njw_tpu.platform.device import detect
 
+    caps = detect()
     return (
         grid.bc == "periodic"
         and grid.nx % 128 == 0
@@ -177,68 +229,183 @@ def pe_pallas_supported(grid: GridSpec, params: PhysicsParams) -> bool:
         and float(params.beta) == 0.0
         and isinstance(params.viscosity, numbers.Number)
         and float(params.viscosity) == 0.0
-        and _pick_by(grid.levels, grid.ny, grid.nx,
-                     detect().vmem_bytes) is not None
+        and _pick_blocks(grid.levels, grid.ny, grid.nx,
+                         int(caps.vmem_physical_bytes * 0.8)) is not None
     )
+
+
+def _block_specs(L: int, ny: int, nx: int, by: int, bx: int):
+    """(center, y-top, y-bottom, x-left, x-right) specs for one 3-D field
+    and the matching 2-D (ps) specs, over a (ny//by, nx//bx) grid."""
+    r = by // 8
+    nby = ny // 8
+    cxb = bx // LANE
+    nxb = nx // LANE
+    c3 = pl.BlockSpec((L, by, bx), lambda i, j: (0, i, j),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, bx), lambda i, j: (0, (i * r - 1) % nby, j),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, bx), lambda i, j: (0, (i * r + r) % nby, j),
+                      memory_space=pltpu.VMEM)
+    l3 = pl.BlockSpec((L, by, LANE),
+                      lambda i, j: (0, i, (j * cxb - 1) % nxb),
+                      memory_space=pltpu.VMEM)
+    r3 = pl.BlockSpec((L, by, LANE),
+                      lambda i, j: (0, i, (j * cxb + cxb) % nxb),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                      memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, bx), lambda i, j: ((i * r - 1) % nby, j),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, bx), lambda i, j: ((i * r + r) % nby, j),
+                      memory_space=pltpu.VMEM)
+    l2 = pl.BlockSpec((by, LANE), lambda i, j: (i, (j * cxb - 1) % nxb),
+                      memory_space=pltpu.VMEM)
+    r2 = pl.BlockSpec((by, LANE), lambda i, j: (i, (j * cxb + cxb) % nxb),
+                      memory_space=pltpu.VMEM)
+    return (c3, t3, b3, l3, r3), (c2, t2, b2, l2, r2)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "c_dt", "coriolis_f", "by", "interpret"),
+    static_argnames=("grid", "c_dt", "coriolis_f", "by", "bx", "interpret"),
 )
 def pe_stage_pallas(
     cur: PEState, base: PEState, *, grid: GridSpec, c_dt: float,
     coriolis_f: float = 0.0, by: Optional[int] = None,
-    interpret: bool = False,
+    bx: Optional[int] = None, interpret: bool = False,
 ) -> PEState:
     """out = base + c_dt * T(cur) in one fused pass."""
     L, ny, nx = grid.levels, grid.ny, grid.nx
-    if by is None:
+    if by is None or bx is None:
         from njw_tpu.platform.device import detect
 
-        by = _pick_by(L, ny, nx, detect().vmem_bytes)
-        if by is None:
+        picked = _pick_blocks(L, ny, nx,
+                              int(detect().vmem_physical_bytes * 0.8))
+        if picked is None:
             raise ValueError("PE pallas kernel: VMEM budget exceeded")
-    nby = ny // 8
-    r = by // 8
+        by = by if by is not None else picked[0]
+        bx = bx if bx is not None else picked[1]
 
     kern = functools.partial(
-        _pe_stage_kernel, L=L, by=by, dx=float(grid.dx), dy=float(grid.dy),
-        f=float(coriolis_f), c_dt=float(c_dt),
+        _pe_stage_kernel, L=L, by=by, bx=bx, dx=float(grid.dx),
+        dy=float(grid.dy), f=float(coriolis_f), c_dt=float(c_dt),
     )
-    c3 = pl.BlockSpec((L, by, nx), lambda i: (0, i, 0),
-                      memory_space=pltpu.VMEM)
-    t3 = pl.BlockSpec((L, 8, nx), lambda i: (0, (i * r - 1) % nby, 0),
-                      memory_space=pltpu.VMEM)
-    b3 = pl.BlockSpec((L, 8, nx), lambda i: (0, (i * r + r) % nby, 0),
-                      memory_space=pltpu.VMEM)
-    c2 = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    t2 = pl.BlockSpec((8, nx), lambda i: ((i * r - 1) % nby, 0),
-                      memory_space=pltpu.VMEM)
-    b2 = pl.BlockSpec((8, nx), lambda i: ((i * r + r) % nby, 0),
-                      memory_space=pltpu.VMEM)
+    (c3, t3, b3, l3, r3), (c2, t2, b2, l2, r2) = _block_specs(
+        L, ny, nx, by, bx)
 
     s3 = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
     s2 = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    vmem_limit = min(_vmem_estimate(L, by, bx) + (8 << 20), 100 << 20)
 
     out = pl.pallas_call(
         kern,
-        grid=(ny // by,),
+        grid=(ny // by, nx // bx),
         in_specs=(
-            [c3, t3, b3] * 4 + [c2, t2, b2]      # cur
-            + [c3, c3, c3, c3, c2]               # base (center only)
+            [c3, t3, b3, l3, r3] * 4 + [c2, t2, b2, l2, r2]  # cur
+            + [c3, c3, c3, c3, c2]                           # base
         ),
         out_specs=(c3, c3, c3, c3, c2),
         out_shape=(s3, s3, s3, s3, s2),
-        # the (4L+1)-field working set slightly exceeds the default 16M
-        # scoped-vmem cap at L=20; v5e has headroom for a modest raise
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=int(vmem_limit)),
         interpret=interpret,
     )(
-        cur.u, cur.u, cur.u, cur.v, cur.v, cur.v,
-        cur.T, cur.T, cur.T, cur.q, cur.q, cur.q,
-        cur.ps, cur.ps, cur.ps,
+        *([cur.u] * 5), *([cur.v] * 5), *([cur.T] * 5), *([cur.q] * 5),
+        *([cur.ps] * 5),
+        base.u, base.v, base.T, base.q, base.ps,
+    )
+    return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "nx", "L", "c_dt", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def pe_stage_pallas_local(
+    u_p, v_p, T_p, q_p, ps_p, base: PEState, *, ly: int, nx: int, L: int,
+    c_dt: float, coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+) -> PEState:
+    """Fused PE stage on an 8-row-halo-padded LOCAL block.
+
+    The multi-chip variant (1-D row decomposition, x whole per shard): a
+    shard_map caller exchanges the single needed halo row per stage via
+    lax.ppermute (padded to 8-row slabs for sublane tiling — only slab
+    rows 7 / 0 are read) and this runs the same fused stage kernel on the
+    (L, ly+16, nx) padded fields. Returns out = base + c_dt * T(cur) on
+    the (ly, nx) interior.
+    """
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        picked = _pick_blocks(L, ly, nx,
+                              int(detect().vmem_physical_bytes * 0.8))
+        if picked is None or picked[1] != nx:
+            raise ValueError("PE pallas local: VMEM budget exceeded "
+                             "(x must stay whole per shard)")
+        by = picked[0]
+    if ly % by or nx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
+    r = by // 8
+    nxb = nx // LANE
+
+    kern = functools.partial(
+        _pe_stage_kernel, L=L, by=by, bx=nx, dx=float(dx), dy=float(dy),
+        f=float(coriolis_f), c_dt=float(c_dt),
+    )
+    # center views are pre-sliced (rows 8:8+ly) so block indices stay
+    # integral; y slabs index the padded arrays directly (same pattern as
+    # ops.stencil.swe_rk4_step_pallas_local); x slabs wrap the local rows.
+    c3 = pl.BlockSpec((L, by, nx), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, nx), lambda i: (0, i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, nx), lambda i: (0, (i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, nxb - 1),
+                      memory_space=pltpu.VMEM)
+    r3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, nx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, nx), lambda i: (i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, nx), lambda i: ((i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l2 = pl.BlockSpec((by, LANE), lambda i: (i, nxb - 1),
+                      memory_space=pltpu.VMEM)
+    r2 = pl.BlockSpec((by, LANE), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+
+    u_c = jax.lax.slice_in_dim(u_p, 8, 8 + ly, axis=1)
+    v_c = jax.lax.slice_in_dim(v_p, 8, 8 + ly, axis=1)
+    T_c = jax.lax.slice_in_dim(T_p, 8, 8 + ly, axis=1)
+    q_c = jax.lax.slice_in_dim(q_p, 8, 8 + ly, axis=1)
+    ps_c = jax.lax.slice_in_dim(ps_p, 8, 8 + ly, axis=0)
+
+    s3 = jax.ShapeDtypeStruct((L, ly, nx), jnp.float32)
+    s2 = jax.ShapeDtypeStruct((ly, nx), jnp.float32)
+    vmem_limit = min(_vmem_estimate(L, by, nx) + (8 << 20), 100 << 20)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=(
+            [c3, t3, b3, l3, r3] * 4 + [c2, t2, b2, l2, r2]
+            + [c3, c3, c3, c3, c2]
+        ),
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(s3, s3, s3, s3, s2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        u_c, u_p, u_p, u_c, u_c,
+        v_c, v_p, v_p, v_c, v_c,
+        T_c, T_p, T_p, T_c, T_c,
+        q_c, q_p, q_p, q_c, q_c,
+        ps_c, ps_p, ps_p, ps_c, ps_c,
         base.u, base.v, base.T, base.q, base.ps,
     )
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])

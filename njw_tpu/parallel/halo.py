@@ -355,6 +355,77 @@ def sharded_barotropic_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def sharded_pe_step_pallas(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    n_steps: int = 1, interpret: bool = False,
+):
+    """Multi-chip primitive equations with the FUSED PE STAGE KERNEL per
+    shard (the BASELINE config-5 fast path): 1-D row decomposition; each
+    RK4 stage exchanges ONE halo row per field over the 'y' ring (padded
+    to an 8-row slab for sublane tiling — only the true row is read by
+    the kernel), then runs the fused tendency+axpy stage kernel on the
+    padded block. 4 exchanges + 4 kernel passes per step.
+    """
+    import numbers
+
+    from njw_tpu.ops.pe_stencil import pe_stage_pallas_local
+    from njw_tpu.weather.primitive import PEState
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("pallas sharded PE requires periodic BC")
+    if not isinstance(params.coriolis_f, numbers.Number):
+        raise NotImplementedError("constant Coriolis f only")
+    n_dev = int(mesh.devices.size)
+    if grid.ny % n_dev:
+        raise ValueError(f"ny={grid.ny} not divisible by {n_dev} devices")
+    ly = grid.ny // n_dev
+    if ly % 8 or grid.nx % 128:
+        raise ValueError("per-shard rows must be a multiple of 8 and "
+                         "nx a multiple of 128")
+    L = grid.levels
+    dt = float(dt)
+    f = float(params.coriolis_f)
+
+    def pad8(a):
+        """Exchange ONE halo row each way; embed in 8-row slabs (rows
+        0-6 / 9-15 of the pads are zero filler the kernel never reads)."""
+        top_row = _ring_shift(a[..., -1:, :], "y", +1)
+        bot_row = _ring_shift(a[..., :1, :], "y", -1)
+        filler = jnp.zeros(a.shape[:-2] + (7, a.shape[-1]), a.dtype)
+        return jnp.concatenate(
+            [filler, top_row, a, bot_row, filler], axis=-2)
+
+    def stage(cur: PEState, base: PEState, c_dt: float) -> PEState:
+        return pe_stage_pallas_local(
+            pad8(cur.u), pad8(cur.v), pad8(cur.T), pad8(cur.q),
+            pad8(cur.ps), base, ly=ly, nx=grid.nx, L=L, c_dt=c_dt,
+            coriolis_f=f, dx=float(grid.dx), dy=float(grid.dy),
+            interpret=interpret,
+        )
+
+    def one_step(s: PEState) -> PEState:
+        s1 = stage(s, s, 0.5 * dt)
+        s2 = stage(s1, s, 0.5 * dt)
+        s3 = stage(s2, s, dt)
+        acc = jax.tree.map(
+            lambda a, b, c, d: (-a + b + 2.0 * c + d) * (1.0 / 3.0),
+            s, s1, s2, s3)
+        return stage(s3, acc, dt / 6.0)
+
+    def local_steps(state: PEState) -> PEState:
+        def body(s, _):
+            return one_step(s), None
+
+        state, _ = lax.scan(body, state, None, length=n_steps)
+        return state
+
+    p3 = P(None, "y", None)
+    spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", None))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def sharded_swe_step_pallas(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     n_steps: int = 1, interpret: bool = False,

@@ -36,7 +36,8 @@ class DeviceCaps:
     num_devices: int
     hbm_gb: float            # per-chip HBM capacity
     hbm_bandwidth_gbps: float  # per-chip HBM bandwidth (roofline denominator)
-    vmem_bytes: int          # per-core VMEM budget for Pallas kernels
+    vmem_bytes: int          # conservative per-kernel VMEM working budget
+    vmem_physical_bytes: int  # physical per-core VMEM (scoped-cap ceiling)
     peak_bf16_tflops: float  # MXU peak (per chip)
     ici_bandwidth_gbps: float  # per-link ICI bandwidth (0 for CPU)
 
@@ -48,13 +49,16 @@ class DeviceCaps:
 # Per-generation constants (public figures; the analog of the reference's
 # per-device bandwidth table, ref: device_detection.h:90-110).
 _TPU_TABLE = {
-    #  gen     hbm_gb  bw_gbps  vmem       bf16_tflops  ici_gbps
-    "v2": (8.0, 700.0, 16 << 20, 46.0, 100.0),
-    "v3": (16.0, 900.0, 16 << 20, 123.0, 100.0),
-    "v4": (32.0, 1228.0, 16 << 20, 275.0, 100.0),
-    "v5e": (16.0, 819.0, 16 << 20, 197.0, 200.0),
-    "v5p": (95.0, 2765.0, 16 << 20, 459.0, 200.0),
-    "v6e": (32.0, 1640.0, 16 << 20, 918.0, 200.0),
+    #  gen     hbm_gb  bw_gbps  vmem-budget  vmem-phys   bf16_tflops  ici_gbps
+    # vmem-budget is the conservative default working set (Mosaic's 16M
+    # scoped-vmem default); vmem-phys is the physical per-core VMEM a
+    # kernel may raise its scoped cap toward (128 MiB on v4+ cores).
+    "v2": (8.0, 700.0, 16 << 20, 16 << 20, 46.0, 100.0),
+    "v3": (16.0, 900.0, 16 << 20, 16 << 20, 123.0, 100.0),
+    "v4": (32.0, 1228.0, 16 << 20, 128 << 20, 275.0, 100.0),
+    "v5e": (16.0, 819.0, 16 << 20, 128 << 20, 197.0, 200.0),
+    "v5p": (95.0, 2765.0, 16 << 20, 128 << 20, 459.0, 200.0),
+    "v6e": (32.0, 1640.0, 16 << 20, 128 << 20, 918.0, 200.0),
 }
 
 
@@ -85,16 +89,18 @@ def detect(backend: Optional[str] = None) -> DeviceCaps:
     d0 = devs[0]
     if d0.platform == "tpu":
         gen = _parse_generation(getattr(d0, "device_kind", ""))
-        hbm, bw, vmem, tflops, ici = _TPU_TABLE[gen]
+        hbm, bw, vmem, vphys, tflops, ici = _TPU_TABLE[gen]
         return DeviceCaps(
             platform="tpu", generation=gen, num_devices=len(devs),
             hbm_gb=hbm, hbm_bandwidth_gbps=bw, vmem_bytes=vmem,
+            vmem_physical_bytes=vphys,
             peak_bf16_tflops=tflops, ici_bandwidth_gbps=ici,
         )
     # CPU (tests / oracle runs): nominal numbers, roofline is meaningless.
     return DeviceCaps(
         platform=d0.platform, generation="cpu", num_devices=len(devs),
         hbm_gb=0.0, hbm_bandwidth_gbps=50.0, vmem_bytes=16 << 20,
+        vmem_physical_bytes=128 << 20,
         peak_bf16_tflops=1.0, ici_bandwidth_gbps=0.0,
     )
 

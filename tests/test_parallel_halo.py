@@ -173,6 +173,37 @@ class TestShardedPE:
             )
 
 
+    def test_pallas_path_matches_single_device(self):
+        """Sharded PE with the fused Pallas stage kernel (interpret mode)
+        == whole-domain XLA run (the BASELINE config-5 fast path, r2)."""
+        from njw_tpu.parallel.halo import sharded_pe_step_pallas
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        grid = GridSpec(nx=128, ny=32, levels=4, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("y",))
+        step = sharded_pe_step_pallas(grid, params, mesh, dt=30.0,
+                                      n_steps=10, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(model="primitive", grid_width=128, grid_height=32,
+                        num_levels=4, dx=1e5, dy=1e5, dt=30.0,
+                        coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=15.0,
+                                     perturb=0.5)
+        sim.step(10)
+        # tolerance matches the single-block kernel-vs-XLA bound (float
+        # op-ordering differs inside the fused kernel), accumulated 10 steps
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name)),
+                np.asarray(getattr(sim.state, name)),
+                rtol=1e-3, atol=5e-4, err_msg=name,
+            )
+
+
 class TestDistributedFFT:
     def test_poisson_matches_single_device(self):
         from jax.sharding import Mesh

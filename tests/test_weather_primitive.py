@@ -147,11 +147,59 @@ class TestPEPallasKernel:
                 np.asarray(getattr(out_x, name)),
                 rtol=1e-5, atol=1e-4, err_msg=name)
 
+    def test_stage_x_blocked_matches_xla(self):
+        """x-blocked path (bx < nx, 128-lane halo slabs) == XLA path —
+        the BASELINE config-5 enabler (r2)."""
+        import jax
+
+        from njw_tpu.ops.pe_stencil import pe_stage_pallas
+
+        grid = GridSpec(nx=256, ny=16, levels=4, dx=1e5, dy=1e5)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+        out = pe_stage_pallas(s, s, grid=grid, c_dt=15.0, coriolis_f=1e-4,
+                              by=8, bx=128, interpret=True)
+        t = pe_tendencies(s, grid, PARAMS)
+        ref = jax.tree.map(lambda b, k: b + 15.0 * k, s, t)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name)
+
+    def test_stage_local_matches_xla(self):
+        """Halo-padded local variant (the sharded fast path) == XLA path
+        when fed true periodic halos."""
+        import jax
+
+        from njw_tpu.ops.pe_stencil import pe_stage_pallas_local
+
+        grid = GridSpec(nx=128, ny=32, levels=4, dx=1e5, dy=1e5)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+
+        def pad8(f):
+            return jnp.concatenate(
+                [f[..., -8:, :], f, f[..., :8, :]], axis=-2)
+
+        out = pe_stage_pallas_local(
+            pad8(s.u), pad8(s.v), pad8(s.T), pad8(s.q), pad8(s.ps), s,
+            ly=32, nx=128, L=4, c_dt=15.0, coriolis_f=1e-4,
+            dx=1e5, dy=1e5, by=8, interpret=True)
+        t = pe_tendencies(s, grid, PARAMS)
+        ref = jax.tree.map(lambda b, k: b + 15.0 * k, s, t)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name)
+
     def test_supported_predicate(self):
         from njw_tpu.ops.pe_stencil import pe_pallas_supported
 
         assert pe_pallas_supported(
             GridSpec(nx=512, ny=512, levels=20, dx=1e5, dy=1e5), PARAMS)
+        # BASELINE config 5 must now be eligible (x-blocking, r2)
+        assert pe_pallas_supported(
+            GridSpec(nx=2048, ny=2048, levels=40, dx=1e5, dy=1e5), PARAMS)
         assert not pe_pallas_supported(
             GridSpec(nx=100, ny=512, levels=20), PARAMS)  # nx%128
         assert not pe_pallas_supported(
