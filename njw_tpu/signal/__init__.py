@@ -11,9 +11,11 @@ filtering (FIR/IIR/adaptive/multirate), and time-frequency analysis
 * FIR filtering and correlation are batched convolutions
   (lax.conv_general_dilated -> MXU) — replaces the three __launch_bounds__
   FIR kernel variants (ref: filter_kernels.cu:77-170).
-* IIR recursions and adaptive (LMS/NLMS/RLS) filters are lax.scan loops —
-  replaces DF1/DF2/SOS kernels (ref: filter_kernels.cu:230-339) and LMS
-  kernels (ref :597-651).
+* IIR recursions are log-depth doubling scans over the SOS state-space
+  recurrence (sequential scans are the one shape TPUs hate) — replaces
+  DF1/DF2/SOS kernels (ref: filter_kernels.cu:230-339); adaptive
+  (LMS/NLMS/RLS) filters stay lax.scan (data-dependent recursion,
+  ref :597-651).
 * everything is batch-first: a (batch, n) array processes 1000 signals in
   one call (the reference's batched throughput benchmark,
   src/signal_processing/README.md:151).
@@ -25,7 +27,7 @@ from njw_tpu.signal.filters import (
     FIRFilter, IIRFilter, AdaptiveFilter, MultirateFilter,
     design_fir_lowpass, design_fir_bandpass, design_fir_highpass,
     design_fir_least_squares, design_fir_equiripple,
-    butterworth, chebyshev1,
+    butterworth, chebyshev1, fir_apply, sos_apply, median_filter,
 )
 from njw_tpu.signal.tf import STFT, CWT, DWT, WPT, MODWT, \
     WignerVille, EMD, mel_spectrogram, mfcc

@@ -320,11 +320,62 @@ def chebyshev1(order: int, cutoff, btype: str = "lowpass",
     return _design_iir("chebyshev1", order, cutoff, btype, ripple_db)
 
 
+def _sos_state_scan(xb, sos):
+    """Parallel (log-depth) transposed-DF-II evaluation for one batch.
+
+    Each section is the affine recurrence  s_t = M s_{t-1} + c x_t  with
+    the CONSTANT 2x2 transition M = [[-a1, 1], [-a2, 0]] and
+    c = [b1 - a1 b0, b2 - a2 b0]; then y_t = b0 x_t + s_{t-1}[0].
+    A sequential 1M-sample lax.scan is the one shape TPUs hate; the
+    Hillis-Steele doubling scan below solves the recurrence in log2(n)
+    fully-vectorized passes (u[t] += M^k u[t-k], k = 1, 2, 4, ...) —
+    the TPU-native counterpart of the reference's blocked IIR kernels
+    (ref: filter_kernels.cu:279-339).
+    """
+    n = xb.shape[-1]
+    y = xb
+    for coef in np.asarray(sos, np.float64):
+        b0, b1, b2, _a0, a1, a2 = coef
+        M = np.array([[-a1, 1.0], [-a2, 0.0]])
+        c = np.array([b1 - a1 * b0, b2 - a2 * b0])
+        # u: (B, n, 2) per-sample affine contributions
+        u = y[..., None] * jnp.asarray(c, jnp.float32)
+        k = 1
+        Mk = M
+        while k < n:
+            m = jnp.asarray(Mk, jnp.float32)
+            shifted = jnp.pad(u[:, :-k, :], ((0, 0), (k, 0), (0, 0)))
+            u = u + shifted @ m.T
+            Mk = Mk @ Mk
+            k *= 2
+        d1_prev = jnp.pad(u[:, :-1, 0], ((0, 0), (1, 0)))
+        y = jnp.float32(b0) * y + d1_prev
+    return y
+
+
+def sos_apply(x, sos, method: str = "auto"):
+    """Apply second-order sections (transposed DF-II) along the last axis.
+
+    method='scan'     sequential lax.scan (bit-exact streaming order,
+                      ref SOS kernel: filter_kernels.cu:339)
+    method='parallel' log-depth doubling scan (TPU-native; identical
+                      filter, float summation order differs)
+    method='auto'     parallel for long signals, scan for short
+    """
+    if method == "auto":
+        method = "parallel" if np.shape(x)[-1] >= 4096 else "scan"
+    if method == "parallel":
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 1
+        xb = x[None, :] if squeeze else x.reshape(-1, x.shape[-1])
+        yb = _sos_state_scan(xb, sos)
+        return yb[0] if squeeze else yb.reshape(x.shape)
+    return _sos_apply_scan(x, sos)
+
+
 @jax.jit
-def sos_apply(x, sos):
-    """Apply second-order sections (transposed DF-II) along the last axis
-    with lax.scan; batch dims vectorized (ref SOS kernel:
-    filter_kernels.cu:339)."""
+def _sos_apply_scan(x, sos):
+    """Sequential-scan SOS application (see sos_apply)."""
     x = jnp.asarray(x, jnp.float32)
     sos = jnp.asarray(sos, jnp.float32)
     squeeze = x.ndim == 1
@@ -349,6 +400,21 @@ def sos_apply(x, sos):
 
     yb, _ = jax.lax.scan(body, xb, sos)
     return yb[0] if squeeze else yb.reshape(x.shape)
+
+
+def median_filter(x, size: int = 5):
+    """Sliding-window median along the last axis (edge-replicated pad;
+    ref median kernel: filter_kernels.cu:422). Vectorized as a framed
+    sort — a width-`size` sorting network on the VPU, no sequential loop."""
+    if size % 2 == 0:
+        raise ValueError("median size must be odd")
+    x = jnp.asarray(x, jnp.float32)
+    h = size // 2
+    pad = [(0, 0)] * (x.ndim - 1) + [(h, h)]
+    xp = jnp.pad(x, pad, mode="edge")
+    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(size)[None, :]
+    frames = xp[..., idx]                      # (..., n, size)
+    return jnp.sort(frames, axis=-1)[..., h]
 
 
 class IIRFilter:

@@ -190,6 +190,52 @@ class TestIIR:
         np.testing.assert_allclose(y, ref, atol=1e-4)
 
 
+    def test_parallel_sos_matches_scan(self):
+        """Doubling-scan IIR == sequential scan (same filter, reordered
+        float sums) for a full 8th-order butterworth."""
+        from njw_tpu.signal.filters import sos_apply
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(5000).astype(np.float32)
+        filt = IIRFilter(design="butterworth", order=8, cutoff=0.2)
+        y_par = np.asarray(sos_apply(x, filt.sos, method="parallel"))
+        y_seq = np.asarray(sos_apply(x, filt.sos, method="scan"))
+        np.testing.assert_allclose(y_par, y_seq, rtol=1e-4, atol=1e-4)
+
+    def test_parallel_sos_batched(self):
+        from njw_tpu.signal.filters import sos_apply
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((3, 4096)).astype(np.float32)
+        sos = np.asarray(IIRFilter(design="butterworth", order=4,
+                                   cutoff=0.3).sos)
+        y = np.asarray(sos_apply(x, sos, method="parallel"))
+        for i in range(3):
+            np.testing.assert_allclose(
+                y[i], np.asarray(sos_apply(x[i], sos, method="scan")),
+                rtol=1e-4, atol=1e-4)
+
+
+class TestMedianFilter:
+    def test_matches_numpy(self):
+        from njw_tpu.signal.filters import median_filter
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(257).astype(np.float32)
+        y = np.asarray(median_filter(x, 11))
+        xp = np.pad(x, 5, mode="edge")
+        ref = np.array([np.median(xp[i:i + 11]) for i in range(257)])
+        np.testing.assert_allclose(y, ref, atol=1e-6)
+
+    def test_removes_impulse_noise(self):
+        from njw_tpu.signal.filters import median_filter
+
+        x = np.zeros(100, np.float32)
+        x[50] = 100.0  # lone spike
+        y = np.asarray(median_filter(x, 5))
+        assert abs(y[50]) < 1e-6
+
+
 class TestAdaptive:
     @pytest.mark.parametrize("method", ["lms", "nlms", "rls"])
     def test_system_identification(self, method):
