@@ -92,7 +92,8 @@ def swe_scaling_sweep(
 
 
 def halo_overlap_efficiency(grid_size: int = 256, n_devices: int = 4,
-                            dt: float = 0.005, n_steps: int = 10) -> dict:
+                            dt: float = 0.005, n_steps: int = 10,
+                            overlap: bool = True) -> dict:
     """Compare the full sharded step (halo exchange + stencil) against the
     same stencil with the exchange replaced by local edge-clamping — the
     delta is the *exposed* (non-overlapped) communication time."""
@@ -105,7 +106,8 @@ def halo_overlap_efficiency(grid_size: int = 256, n_devices: int = 4,
     s0 = make_initial_state("vortex", grid_p, strength=2.0)
     s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
 
-    full = sharded_swe_step(grid_p, params, mesh, dt=dt, n_steps=n_steps)
+    full = sharded_swe_step(grid_p, params, mesh, dt=dt, n_steps=n_steps,
+                            overlap=overlap)
     t_full = _time_step_fn(full, sharded_state(s0, mesh))
 
     # comm-free proxy: same stencil math, halos filled by local clamping
@@ -116,13 +118,14 @@ def halo_overlap_efficiency(grid_size: int = 256, n_devices: int = 4,
     try:
         H._ring_shift = lambda x, axis_name, shift: x  # no-op exchange
         nocomm = sharded_swe_step(grid_p, params, mesh, dt=dt,
-                                  n_steps=n_steps)
+                                  n_steps=n_steps, overlap=overlap)
         t_nocomm = _time_step_fn(nocomm, sharded_state(s0, mesh))
     finally:
         H._ring_shift = orig
 
     return {
         "devices": int(mesh.devices.size),
+        "overlap": overlap,
         "t_full_s": t_full,
         "t_compute_only_s": t_nocomm,
         "exposed_comm_s": max(t_full - t_nocomm, 0.0),

@@ -119,13 +119,26 @@ def sharded_state(state, mesh: Mesh):
     return jax.tree.map(put, state)
 
 
+def _stitch(top, left, interior, right, bot):
+    """Reassemble (1, lx) + (h, 1) + (h, w) + (h, 1) + (1, lx) edge strips
+    into the full (ly, lx) block (leading dims broadcast)."""
+    mid = jnp.concatenate([left, interior, right], axis=-1)
+    return jnp.concatenate([top, mid, bot], axis=-2)
+
+
 def sharded_swe_step(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    method: str = "rk4", n_steps: int = 1,
+    method: str = "rk4", n_steps: int = 1, overlap: bool = True,
 ):
     """Build a jitted multi-chip SWE step: shard_map over the ('y','x')
     mesh, halo exchange per tendency evaluation (4x/step for RK4 — the
     multi-stage exchange pattern SURVEY §7 flags as the hard part).
+
+    overlap=True (default) computes the interior stencil FROM THE UNPADDED
+    LOCAL BLOCK — no data dependence on the ppermute results — so XLA can
+    schedule the halo exchange entirely behind interior compute; only the
+    four 1-cell edge strips wait for the halos (the BASELINE
+    interior/edge-overlap requirement). Identical arithmetic per point.
 
     Returns step_fn(state) -> state operating on sharded WeatherState.
     """
@@ -143,6 +156,8 @@ def sharded_swe_step(
     bc = grid.bc
     beta = params.beta
     use_beta = not (isinstance(beta, (int, float)) and beta == 0.0)
+    if ly < 4 or lx < 4:
+        overlap = False  # degenerate blocks: no interior to overlap
 
     def local_params():
         """Per-shard physics params; beta-plane f becomes a (ly, 1) field
@@ -156,7 +171,13 @@ def sharded_swe_step(
         return params.replace(
             coriolis_f=params.coriolis_f + beta * (y_norm - 0.5))
 
-    def local_tendency(s: WeatherState) -> WeatherState:
+    def _region_params(p, rows):
+        f = p.coriolis_f
+        if isinstance(f, jnp.ndarray) and f.ndim == 2:
+            return p.replace(coriolis_f=f[rows, :])
+        return p
+
+    def local_tendency_padded(s: WeatherState) -> WeatherState:
         up = halo_pad_2d(s.u, 1, bc=bc)
         vp = halo_pad_2d(s.v, 1, bc=bc)
         hp = halo_pad_2d(s.h, 1, bc=bc)
@@ -164,6 +185,43 @@ def sharded_swe_step(
             up, vp, hp, shift, grid, local_params(), interior=crop
         )
         return WeatherState(u=du, v=dv, h=dh)
+
+    def local_tendency_overlap(s: WeatherState) -> WeatherState:
+        p = local_params()
+        # halo exchange (async collectives) issued first ...
+        up = halo_pad_2d(s.u, 1, bc=bc)
+        vp = halo_pad_2d(s.v, 1, bc=bc)
+        hp = halo_pad_2d(s.h, 1, bc=bc)
+        # ... interior depends ONLY on the local block: computes while
+        # the edge strips are in flight
+        sh_i = make_padded_shift_fn(1, ly - 2, lx - 2)
+        cr_i = interior_crop(1, ly - 2, lx - 2)
+        di = swe_tendencies_from_shifts(
+            s.u, s.v, s.h, sh_i, grid,
+            _region_params(p, slice(1, ly - 1)), interior=cr_i)
+
+        def strip(rows, cols, h, w, prows):
+            sl = lambda a: a[..., rows, cols]
+            sh = make_padded_shift_fn(1, h, w)
+            cr = interior_crop(1, h, w)
+            return swe_tendencies_from_shifts(
+                sl(up), sl(vp), sl(hp), sh, grid,
+                _region_params(p, prows), interior=cr)
+
+        top = strip(slice(0, 3), slice(None), 1, lx, slice(0, 1))
+        bot = strip(slice(ly - 1, ly + 2), slice(None), 1, lx,
+                    slice(ly - 1, ly))
+        left = strip(slice(1, ly + 1), slice(0, 3), ly - 2, 1,
+                     slice(1, ly - 1))
+        right = strip(slice(1, ly + 1), slice(lx - 1, lx + 2), ly - 2, 1,
+                      slice(1, ly - 1))
+        out = tuple(
+            _stitch(top[i], left[i], di[i], right[i], bot[i])
+            for i in range(3))
+        return WeatherState(u=out[0], v=out[1], h=out[2])
+
+    local_tendency = local_tendency_overlap if overlap \
+        else local_tendency_padded
 
     stepper = make_stepper(method, local_tendency)
     dt_f = jnp.float32(dt)
@@ -190,13 +248,15 @@ def sharded_swe_step(
 
 def sharded_pe_step(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    method: str = "rk4", n_steps: int = 1,
+    method: str = "rk4", n_steps: int = 1, overlap: bool = True,
 ):
     """Multi-chip primitive-equations step (BASELINE config 4/5): the
     level dimension stays local (vertical integrals are cheap column
     ops); the horizontal grid is 2-D decomposed with a fused multi-field
     halo exchange — all five prognostic fields (u, v, T, q x levels + ps)
-    exchange per RK stage.
+    exchange per RK stage. overlap=True computes the interior from the
+    unpadded local block so the exchange hides behind it (see
+    sharded_swe_step).
     """
     from njw_tpu.weather.integrators import make_stepper
     from njw_tpu.weather.primitive import PEState, pe_tendencies_from_shifts
@@ -210,8 +270,10 @@ def sharded_pe_step(
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
     bc = grid.bc
+    if ly < 4 or lx < 4:
+        overlap = False
 
-    def local_tendency(s: PEState) -> PEState:
+    def local_tendency_padded(s: PEState) -> PEState:
         padded = PEState(
             u=halo_pad_2d(s.u, 1, bc=bc), v=halo_pad_2d(s.v, 1, bc=bc),
             T=halo_pad_2d(s.T, 1, bc=bc), q=halo_pad_2d(s.q, 1, bc=bc),
@@ -219,6 +281,38 @@ def sharded_pe_step(
         )
         return pe_tendencies_from_shifts(padded, shift, grid, params,
                                          interior=crop)
+
+    def local_tendency_overlap(s: PEState) -> PEState:
+        padded = PEState(
+            u=halo_pad_2d(s.u, 1, bc=bc), v=halo_pad_2d(s.v, 1, bc=bc),
+            T=halo_pad_2d(s.T, 1, bc=bc), q=halo_pad_2d(s.q, 1, bc=bc),
+            ps=halo_pad_2d(s.ps, 1, bc=bc),
+        )
+        # interior from the unpadded block — no ppermute dependence
+        sh_i = make_padded_shift_fn(1, ly - 2, lx - 2)
+        cr_i = interior_crop(1, ly - 2, lx - 2)
+        di = pe_tendencies_from_shifts(s, sh_i, grid, params,
+                                       interior=cr_i)
+
+        def strip(rows, cols, h, w):
+            sl = lambda a: a[..., rows, cols]
+            sub = PEState(u=sl(padded.u), v=sl(padded.v), T=sl(padded.T),
+                          q=sl(padded.q), ps=sl(padded.ps))
+            return pe_tendencies_from_shifts(
+                sub, make_padded_shift_fn(1, h, w), grid, params,
+                interior=interior_crop(1, h, w))
+
+        top = strip(slice(0, 3), slice(None), 1, lx)
+        bot = strip(slice(ly - 1, ly + 2), slice(None), 1, lx)
+        left = strip(slice(1, ly + 1), slice(0, 3), ly - 2, 1)
+        right = strip(slice(1, ly + 1), slice(lx - 1, lx + 2), ly - 2, 1)
+        return PEState(*(
+            _stitch(getattr(top, n), getattr(left, n), getattr(di, n),
+                    getattr(right, n), getattr(bot, n))
+            for n in ("u", "v", "T", "q", "ps")))
+
+    local_tendency = local_tendency_overlap if overlap \
+        else local_tendency_padded
 
     stepper = make_stepper(method, local_tendency)
     dt_f = jnp.float32(dt)

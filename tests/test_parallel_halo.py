@@ -101,6 +101,23 @@ class TestShardedStep:
             rtol=1e-5, atol=1e-5,
         )
 
+    @pytest.mark.parametrize("bc", ["periodic", "clamped"])
+    def test_overlap_equals_padded_path(self, bc):
+        """Interior/edge-overlap restructure (r2) must be numerically
+        identical to the monolithic padded path — same arithmetic per
+        point, only the schedule differs."""
+        grid = GridSpec(nx=32, ny=32, bc=bc)
+        params = PhysicsParams(coriolis_f=1e-4, beta=0.1, viscosity=0.01)
+        s0 = make_initial_state("vortex", grid, strength=2.0)
+        s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+        mesh = _mesh(2, 2)
+        a = sharded_swe_step(grid, params, mesh, dt=0.01, n_steps=5,
+                             overlap=True)(sharded_state(s0, mesh))
+        b = sharded_swe_step(grid, params, mesh, dt=0.01, n_steps=5,
+                             overlap=False)(sharded_state(s0, mesh))
+        np.testing.assert_array_equal(np.asarray(a.h), np.asarray(b.h))
+        np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
     @pytest.mark.parametrize("mesh_shape", [(2, 2), (4, 1)])
     def test_beta_plane_matches_single_device(self, mesh_shape):
         """Regression (ADVICE r1): sharded step must apply the beta-plane
