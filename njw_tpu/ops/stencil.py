@@ -59,8 +59,15 @@ def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
 
 def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
                    u_o, v_o, h_o, *, dt: float, gravity: float,
-                   coriolis_f: float, dx: float, dy: float, by: int):
-    """One grid step: fused RK4 over a (by, nx) strip with 4-row y halos."""
+                   coriolis_f: float, dx: float, dy: float, by: int,
+                   x_halo: int = 0):
+    """One grid step: fused RK4 over a (by, w) strip with 4-row y halos.
+
+    x_halo=0: x is the whole (periodic) domain width — lane rolls wrap
+    correctly. x_halo=128: the strip carries 128-lane x halo slabs from
+    the x-neighbors (2-D decomposition); rolls still wrap the padded
+    width, the outer lanes go stale by one per stage (4 stages << 128)
+    and the output crops to the interior columns."""
     cx = 0.5 / dx
     cy = 0.5 / dy
     g = gravity
@@ -114,9 +121,15 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
     v_new = av * third + sixth * dv
     h_new = ah * third + sixth * dh
 
-    u_o[:] = u_new[h4:h4 + by, :]
-    v_o[:] = v_new[h4:h4 + by, :]
-    h_o[:] = h_new[h4:h4 + by, :]
+    if x_halo:
+        w = u_c.shape[1] - 2 * x_halo
+        u_o[:] = u_new[h4:h4 + by, x_halo:x_halo + w]
+        v_o[:] = v_new[h4:h4 + by, x_halo:x_halo + w]
+        h_o[:] = h_new[h4:h4 + by, x_halo:x_halo + w]
+    else:
+        u_o[:] = u_new[h4:h4 + by, :]
+        v_o[:] = v_new[h4:h4 + by, :]
+        h_o[:] = h_new[h4:h4 + by, :]
 
 
 @functools.partial(
@@ -261,6 +274,62 @@ def swe_rk4_step_pallas_local(
         grid=(ly // by,),
         in_specs=[center, top, bot] * 3,
         out_specs=(pl.BlockSpec((by, nx), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),) * 3,
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "lx", "dt", "gravity", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def swe_rk4_step_pallas_local2d(
+    u_p, v_p, h_p, *, ly: int, lx: int, dt: float, gravity: float = 9.81,
+    coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+):
+    """Fused RK4 step on a 2-D-halo-padded LOCAL block (ly+16, lx+256).
+
+    The ('y','x')-mesh variant of swe_rk4_step_pallas_local: the caller
+    ppermutes 128-lane x slabs first, then 8-row y slabs of the x-padded
+    block (corners ride along), and this runs the fused kernel with
+    x_halo=128 cropping. Returns the (ly, lx) interior step.
+    """
+    w = lx + 256
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        by = _pick_by(ly, w, detect().vmem_bytes)
+    if ly % by or lx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or lx % 128 != 0")
+    r = by // 8
+
+    kern = functools.partial(
+        swe_rk4_kernel, dt=float(dt), gravity=float(gravity),
+        coriolis_f=float(coriolis_f), dx=float(dx), dy=float(dy), by=by,
+        x_halo=128,
+    )
+    center = pl.BlockSpec((by, w), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((8, w), lambda i: (i * r, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((8, w), lambda i: ((i + 1) * r + 1, 0),
+                       memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((ly, lx), jnp.float32)
+
+    u_c = jax.lax.slice_in_dim(u_p, 8, 8 + ly, axis=0)
+    v_c = jax.lax.slice_in_dim(v_p, 8, 8 + ly, axis=0)
+    h_c = jax.lax.slice_in_dim(h_p, 8, 8 + ly, axis=0)
+
+    return pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=[center, top, bot] * 3,
+        out_specs=(pl.BlockSpec((by, lx), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM),) * 3,
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(

@@ -221,6 +221,36 @@ class TestShardedPE:
             )
 
 
+class TestShardedSWEPallas2D:
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)])
+    def test_matches_single_device(self, mesh_shape):
+        """Fused-Pallas 2-D decomposition (x halo slabs + x_halo kernel)
+        == whole-domain run on a ('y','x') mesh (VERDICT r1 #5)."""
+        from njw_tpu.parallel.halo import sharded_swe_step_pallas
+
+        py, px = mesh_shape
+        grid = GridSpec(nx=128 * px, ny=16 * py)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = make_initial_state("vortex", grid, strength=2.0)
+        s0 = WeatherState(u=s0.u, v=s0.v, h=s0.h)
+
+        mesh = _mesh(py, px)
+        step = sharded_swe_step_pallas(grid, params, mesh, dt=0.01,
+                                       n_steps=10, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(grid_width=grid.nx, grid_height=grid.ny, dt=0.01,
+                        coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        sim.step(10)
+        np.testing.assert_allclose(
+            np.asarray(sharded.h), np.asarray(sim.state.h),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(sharded.u), np.asarray(sim.state.u),
+            rtol=1e-5, atol=1e-4)
+
+
 class TestDistributedFFT:
     def test_poisson_matches_single_device(self):
         from jax.sharding import Mesh
