@@ -117,6 +117,21 @@ def make_barotropic_sim(sim_cls, config, initial_condition: str, **ic_params):
 
     tendency = lambda s: barotropic_tendencies(s, grid, params)
 
+    # backend selection: fused Arakawa-Jacobian stage kernel when eligible
+    # (mirrors the SWE/PE selection; FFT inversion stays in XLA)
+    stepper_factory = None
+    if config.backend in ("auto", "pallas") \
+            and config.integration_method == "rk4":
+        from njw_tpu.ops.baro_stencil import (
+            baro_pallas_supported, make_baro_pallas_rk4_stepper,
+        )
+
+        if baro_pallas_supported(grid, params):
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if on_tpu or config.backend == "pallas":
+                stepper_factory = lambda _t: make_baro_pallas_rk4_stepper(
+                    grid, params, config.dt, interpret=not on_tpu)
+
     def output_fn(s):
         psi = invert_vorticity(s.zeta, grid)
         u, v = velocities(psi, grid)
@@ -124,7 +139,7 @@ def make_barotropic_sim(sim_cls, config, initial_condition: str, **ic_params):
 
     sim = sim_cls(
         state0, tendency, dt=config.dt, method=config.integration_method,
-        grid=grid, output_fn=output_fn,
+        grid=grid, stepper_factory=stepper_factory, output_fn=output_fn,
     )
     sim.config = config
     return sim

@@ -41,56 +41,55 @@ REF_ROWS = {
 
 
 def timed_loop(make_run, iters: int) -> float:
-    """(t(2K) - t(K)) / K in ms, each hard-synced via D2H."""
+    """(t(2K) - t(K)) / K in ms, each hard-synced via D2H.
+
+    make_run(0) returns ONE jitted callable taking the iteration count as
+    a runtime fori_loop bound, so both lengths share one executable
+    (remote compiles on this backend cost minutes)."""
     import numpy as np
 
-    run_n = make_run(iters)
-    run_2n = make_run(2 * iters)
+    run = make_run(0)
 
-    def once(fn):
+    def once(n):
         t0 = time.perf_counter()
-        out = fn()
+        out = run(n)
         float(np.asarray(out))  # D2H hard sync (scalar result)
         return time.perf_counter() - t0
 
-    once(run_n)       # compile K
-    once(run_2n)      # compile 2K
-    t1 = once(run_n)
-    t2 = once(run_2n)
+    once(iters)       # compile + warm
+    once(2 * iters)
+    t1 = once(iters)
+    t2 = once(2 * iters)
     return max(t2 - t1, 1e-9) / iters * 1e3
 
 
-def chain(op, x0, n):
-    """Same-shape op iterated through its own output."""
+def chain(op, x0, _n):
+    """Same-shape op iterated through its own output (runtime count)."""
     import jax
 
     @jax.jit
-    def run():
-        def body(c, _):
-            return op(c), None
-
-        y, _ = jax.lax.scan(body, x0, None, length=n)
+    def run(n):
+        y = jax.lax.fori_loop(0, n, lambda i, c: op(c), x0)
         return jax.numpy.sum(jax.numpy.abs(y[..., :8]))
 
-    return lambda: run()
+    return run
 
 
-def probe(op, x0, n):
+def probe(op, x0, _n):
     """Shape-changing op re-run with a data-dependent input perturbation
-    so XLA cannot hoist it out of the loop."""
+    so XLA cannot hoist it out of the loop (runtime count)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run():
-        def body(c, _):
+    def run(n):
+        def body(i, c):
             y = op(x0 + c)
-            return jnp.sum(jnp.abs(jnp.real(y))) * jnp.float32(1e-30), None
+            return jnp.sum(jnp.abs(jnp.real(y))) * jnp.float32(1e-30)
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-        return c
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return lambda: run()
+    return run
 
 
 def build_rows(iters: int):
@@ -167,6 +166,14 @@ def build_rows(iters: int):
 
 
 def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--out", default=None)

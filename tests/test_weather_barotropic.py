@@ -103,3 +103,49 @@ class TestBarotropicModel:
         t0 = barotropic_tendencies(s, GRID, PhysicsParams())
         t1 = barotropic_tendencies(s, GRID, PhysicsParams(beta=1e-2))
         assert not np.allclose(np.asarray(t0.zeta), np.asarray(t1.zeta))
+
+
+class TestBaroPallasKernel:
+    def test_stage_matches_xla(self):
+        """Fused Arakawa stage kernel == XLA tendency+axpy (interpret)."""
+        from njw_tpu.ops.baro_stencil import baro_stage_pallas
+
+        grid = GridSpec(nx=128, ny=32, dx=1.0, dy=1.0)
+        params = PhysicsParams(beta=0.3, viscosity=0.02)
+        z = _random_field(3, (32, 128))
+        base = _random_field(4, (32, 128))
+        psi = invert_vorticity(z, grid)
+        out = baro_stage_pallas(psi, z, base, grid=grid, c_dt=0.7,
+                                beta=0.3, nu=0.02, by=8, interpret=True)
+        t = barotropic_tendencies(BarotropicState(zeta=z), grid, params)
+        ref = base + 0.7 * t.zeta
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rk4_stepper_matches_xla_rk4(self):
+        from njw_tpu.ops.baro_stencil import make_baro_pallas_rk4_stepper
+        from njw_tpu.weather.integrators import make_stepper
+
+        grid = GridSpec(nx=128, ny=32, dx=1.0, dy=1.0)
+        params = PhysicsParams(beta=0.1)
+        z = _random_field(5, (32, 128)) * 0.1
+        s = BarotropicState(zeta=z)
+        pallas_st = make_baro_pallas_rk4_stepper(grid, params, dt=0.05,
+                                                 interpret=True)
+        _, out_p = pallas_st.step((), s, None)
+        xla_st = make_stepper(
+            "rk4", lambda x: barotropic_tendencies(x, grid, params))
+        _, out_x = xla_st.step((), s, jnp.float32(0.05))
+        np.testing.assert_allclose(np.asarray(out_p.zeta),
+                                   np.asarray(out_x.zeta),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_sim_backend_pallas(self):
+        """backend='pallas' wires the fused stepper into the Simulation."""
+        cfg = SimConfig(model="barotropic", grid_width=128, grid_height=32,
+                        dt=0.05, integration_method="rk4",
+                        backend="pallas")
+        sim = Simulation.from_config(cfg, "vortex", strength=2.0)
+        assert sim.stepper.name == "baro_rk4_pallas"
+        sim.step(5)
+        assert bool(jnp.isfinite(sim.state.zeta).all())
