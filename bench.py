@@ -25,7 +25,7 @@ import time
 
 
 GRID = 2048
-STEPS = 500
+STEPS = 2000  # long chunks amortize this backend's ~43 ms/invocation
 DT = 0.001  # CFL-safe at 2048^2 for the weak vortex used here
 
 

@@ -1,5 +1,20 @@
-"""stdlib HTTP dashboard server (REST role of the reference's
-localhost:5000 API, ref: WorkloadContext.tsx:151-155)."""
+"""stdlib HTTP dashboard server.
+
+REST role of the reference's localhost:5000 API plus the socket.io live
+channel (ref: WorkloadContext.tsx:151-155) as Server-Sent Events, and
+the geo-financial dashboard views (ref: dashboard_app.py:1-1608,
+realtime_dashboard.py:1-1461) as JSON endpoints rendered by the static
+canvas client.
+
+Endpoints:
+  /api/results            benchmark results (typed BenchmarkResult rows)
+  /api/workloads          distinct workload names
+  /api/stream             SSE live events (benchmark + geo-financial)
+  /api/geofin/portfolio   asset table + per-asset risk + totals
+  /api/geofin/riskmap     rasterized risk surface + asset overlay
+  /api/geofin/scenarios   scenario losses / VaR / worst case
+  /, /geofin              static UI pages
+"""
 from __future__ import annotations
 
 import json
@@ -7,21 +22,30 @@ import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+from urllib.parse import parse_qs, urlparse
 
 _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
 
 class DashboardServer:
-    """Serves /api/results, /api/workloads (typed JSON matching
-    njw_tpu.bench.BenchmarkResult) and the static UI."""
+    """Serves /api/results, /api/workloads, /api/stream (SSE), optional
+    geo-financial views, and the static UI."""
 
     def __init__(self, results_path: str, host: str = "127.0.0.1",
-                 port: int = 5000):
+                 port: int = 5000, geofin=None):
         self.results_path = results_path
         self.host = host
         self.port = port
+        self.geofin = geofin          # GeoFinDashboard or None
+        from njw_tpu.dashboard.geofin import EventBroker
+
+        self.broker = geofin.broker if geofin is not None else EventBroker()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+
+    def publish(self, event: dict) -> int:
+        """Push a live event to all SSE subscribers."""
+        return self.broker.publish(event)
 
     def _load(self) -> list:
         if not os.path.exists(self.results_path):
@@ -33,6 +57,8 @@ class DashboardServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -44,21 +70,71 @@ class DashboardServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _static(self, name, ctype="text/html"):
+                path = os.path.join(_STATIC_DIR, name)
+                if not os.path.exists(path):
+                    return self._json({"error": "not found"}, 404)
+                with open(path, "rb") as fh:
+                    body = fh.read()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _sse(self):
+                """Server-sent events: blocks, streaming broker events
+                (the reference's socket.io live channel role)."""
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                last = -1
+                try:
+                    while True:
+                        fresh = server.broker.wait_since(last, timeout=5.0)
+                        if not fresh:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        for eid, event in fresh:
+                            data = json.dumps(event)
+                            self.wfile.write(
+                                f"id: {eid}\ndata: {data}\n\n".encode())
+                            last = eid
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    return
+
             def do_GET(self):
-                if self.path == "/api/results":
+                parsed = urlparse(self.path)
+                route = parsed.path
+                if route == "/api/results":
                     self._json(server._load())
-                elif self.path == "/api/workloads":
+                elif route == "/api/workloads":
                     rows = server._load()
                     self._json(sorted({r["workload"] for r in rows}))
-                elif self.path in ("/", "/index.html"):
-                    path = os.path.join(_STATIC_DIR, "index.html")
-                    with open(path, "rb") as fh:
-                        body = fh.read()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/html")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                elif route == "/api/stream":
+                    self._sse()
+                elif route.startswith("/api/geofin/"):
+                    if server.geofin is None:
+                        return self._json(
+                            {"error": "no geo-financial context"}, 404)
+                    if route == "/api/geofin/portfolio":
+                        self._json(server.geofin.portfolio_view())
+                    elif route == "/api/geofin/riskmap":
+                        q = parse_qs(parsed.query)
+                        w = int(q.get("w", ["128"])[0])
+                        h = int(q.get("h", ["128"])[0])
+                        self._json(server.geofin.risk_map(w, h))
+                    elif route == "/api/geofin/scenarios":
+                        self._json(server.geofin.scenario_view())
+                    else:
+                        self._json({"error": "not found"}, 404)
+                elif route in ("/", "/index.html"):
+                    self._static("index.html")
+                elif route in ("/geofin", "/geofin.html"):
+                    self._static("geofin.html")
                 else:
                     self._json({"error": "not found"}, 404)
 
@@ -91,11 +167,49 @@ def main(argv=None) -> int:
     p.add_argument("--results", default="benchmark_results/results.json")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--demo-geofin", action="store_true",
+                   help="serve a synthetic geo-financial dashboard with a "
+                        "live market stream")
     args = p.parse_args(argv)
-    server = DashboardServer(args.results, args.host, args.port).start()
+
+    geofin = None
+    stream = None
+    if args.demo_geofin:
+        from njw_tpu.dashboard.geofin import GeoFinDashboard
+        from njw_tpu.geofinancial.geo_risk import (
+            GeospatialRiskModel, create_elevation_risk_factor,
+            create_flood_risk_factor,
+        )
+        from njw_tpu.geofinancial.realtime import MarketDataStream
+        from njw_tpu.geofinancial.scenarios import create_climate_scenarios
+        from njw_tpu.geofinancial.testdata import (
+            generate_assets, generate_dem,
+        )
+
+        dem = generate_dem(256, seed=1)
+        model = GeospatialRiskModel([
+            create_flood_risk_factor(dem, weight=1.0),
+            create_elevation_risk_factor(dem, weight=0.5),
+        ])
+        port = generate_assets(60, extent=256.0, seed=1)
+        syms = ["NJW", "TPU", "XLA"]
+        for i, a in enumerate(port.assets):
+            a.metadata["symbol"] = syms[i % len(syms)]
+        geofin = GeoFinDashboard(port, model,
+                                 scenarios=create_climate_scenarios())
+        stream = MarketDataStream(syms, interval_s=2.0)
+        geofin.attach_stream(stream)
+        stream.start()
+
+    server = DashboardServer(args.results, args.host, args.port,
+                             geofin=geofin).start()
     print(f"dashboard at {server.url} (ctrl-c to stop)")
+    if geofin is not None:
+        print(f"geo-financial views at {server.url}/geofin")
     try:
         server._thread.join()
     except KeyboardInterrupt:
+        if stream is not None:
+            stream.stop()
         server.stop()
     return 0

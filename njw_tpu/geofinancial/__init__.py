@@ -26,6 +26,13 @@ from njw_tpu.geofinancial.scenarios import (
     Scenario, ScenarioSet, ScenarioAnalyzer, create_climate_scenarios,
     create_economic_scenarios, create_stress_scenarios,
 )
+from njw_tpu.geofinancial.data import (
+    AssetLocationDataLoader, FinancialDataLoader, GeoRiskDataLoader,
+    export_portfolio_geojson,
+)
+from njw_tpu.geofinancial.testdata import (
+    generate_assets, generate_dem, generate_returns, generate_dataset,
+)
 from njw_tpu.geofinancial.multiregion import (
     RegionDefinition, RegionalPortfolio, MultiRegionRiskModel,
     RegionalRiskComparator,

