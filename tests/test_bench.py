@@ -127,3 +127,64 @@ class TestSuite:
         assert "nbody" in content and "geospatial" in content
         assert os.path.exists(os.path.join(str(tmp_path),
                                            "throughput.png"))
+
+
+class TestReportGenerators:
+    """Full generator set (ref: benchmark/visualization.py:21-1319)."""
+
+    def _results(self):
+        return [
+            BenchmarkResult(
+                "weather", "tpu:v5e", 1.5, 1.2e10, "grid-points/s",
+                memory_bytes=1 << 24,
+                additional_metrics={"energy_joules": 450.0,
+                                    "duty_factor": 0.83}),
+            BenchmarkResult(
+                "nbody", "tpu:v5e", 0.8, 3.0e9, "interactions/s",
+                memory_bytes=1 << 20,
+                additional_metrics={"energy_joules": 210.0,
+                                    "duty_factor": 0.71}),
+        ]
+
+    def _scaling(self):
+        return [
+            {"devices": 1, "grid_points_per_second": 1e10,
+             "scaling_efficiency": 1.0},
+            {"devices": 4, "grid_points_per_second": 3.6e10,
+             "scaling_efficiency": 0.9},
+            {"devices": 8, "grid_points_per_second": 6.4e10,
+             "scaling_efficiency": 0.8},
+        ]
+
+    def test_full_report_renders_all_generators(self, tmp_path):
+        from njw_tpu.bench.report import generate_report
+
+        path = generate_report(self._results(), str(tmp_path),
+                               scaling_rows=self._scaling())
+        page = open(path).read()
+        import os
+
+        expected = ["execution_time.png", "throughput.png", "memory.png",
+                    "energy.png", "util.png", "cost.png",
+                    "cost_per_op.png", "break_even.png", "scaling.png",
+                    "scaling_efficiency.png"]
+        for name in expected:
+            assert os.path.exists(tmp_path / name), name
+            assert name in page
+        assert "environment cost comparison" in page
+        assert "cheapest" in page
+
+    def test_generators_skip_missing_metrics(self, tmp_path):
+        from njw_tpu.bench.report import plot_device_utilization, plot_energy
+
+        bare = [BenchmarkResult("md", "cpu", 1.0, 1e6, "steps/s")]
+        assert plot_energy(bare, str(tmp_path / "e.png")) is None
+        assert plot_device_utilization(bare, str(tmp_path / "u.png")) is None
+
+    def test_break_even_chart_marks_crossover(self, tmp_path):
+        from njw_tpu.bench.report import plot_break_even
+
+        p = plot_break_even(str(tmp_path / "be.png"))
+        import os
+
+        assert os.path.exists(p)

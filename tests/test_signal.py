@@ -456,3 +456,30 @@ class TestElliptic:
         wb, Hb = b.frequency_response(2048)
         sel = we >= 0.4
         assert np.abs(He[sel]).max() < np.abs(Hb[sel]).max()
+
+
+class TestBlockLMS:
+    def test_system_identification(self):
+        """Block-LMS (the MXU-native adaptive variant) must identify an
+        unknown FIR system like per-sample LMS does."""
+        from njw_tpu.signal.filters import AdaptiveFilter, fir_apply
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(8000).astype(np.float32)
+        h_true = np.array([0.5, -0.3, 0.2, 0.1], np.float32)
+        d = np.asarray(fir_apply(x, h_true))
+        af = AdaptiveFilter(num_taps=8, method="block_lms", mu=0.05,
+                            block_size=128)
+        y, e, w = af.apply(x, d)
+        # converged error far below signal power
+        tail = np.asarray(e)[-1000:]
+        assert np.mean(tail ** 2) < 0.01 * np.mean(d ** 2)
+        np.testing.assert_allclose(np.asarray(w)[:4], h_true, atol=0.05)
+
+    def test_ragged_tail(self):
+        from njw_tpu.signal.filters import AdaptiveFilter
+
+        af = AdaptiveFilter(num_taps=4, method="block_lms", block_size=64)
+        x = np.random.default_rng(0).standard_normal(200).astype(np.float32)
+        y, e, w = af.apply(x, x)
+        assert y.shape == (200,) and e.shape == (200,)
