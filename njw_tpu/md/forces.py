@@ -107,18 +107,64 @@ def _bonded_exclusion(n: int, topo: Topology):
     return jnp.asarray(mask)
 
 
-def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int):
+_CELL_LIST_MIN_N = 2000  # below this, masked all-pairs wins on TPU
+
+
+def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
+                  *, method: str = "auto", box_static=None):
     """Returns force_fn(state) -> (forces (N,3), energies dict). Forces are
-    exact negative gradients of the total potential via jax.grad."""
+    exact negative gradients of the total potential via jax.grad.
+
+    method: 'all_pairs' (masked O(N^2)), 'cell_list' (static-shape
+    bucketed neighbors, njw_tpu.md.neighbors — the reference NeighborList
+    role, ref: molecular_system.hpp:247-284), or 'auto' (cell list when
+    N >= 2000 and the box spans >= 3 cells per dim; needs box_static,
+    the concrete (3,) box lengths, to size the static cell grid).
+    """
     has_bonded = topo.bonds is not None or topo.angles is not None \
         or topo.dihedrals is not None
-    exclusion = _bonded_exclusion(n, topo) if has_bonded else None
 
-    def potential(pos, charge, type_id, box):
-        e_nb = nonbonded_energy(pos, charge, type_id, box, lj, cutoff,
-                                exclusion)
-        e_b = bonded_energy(pos, box, topo) if has_bonded else 0.0
-        return e_nb + e_b, (e_nb, e_b)
+    use_cells = False
+    if method in ("auto", "cell_list") and box_static is not None:
+        from njw_tpu.md.neighbors import cell_list_supported
+
+        eligible = cell_list_supported(box_static, cutoff)
+        if method == "cell_list" and not eligible:
+            raise ValueError("cell_list needs >= 3 cells per dim "
+                             f"(box {box_static}, cutoff {cutoff})")
+        use_cells = eligible and (method == "cell_list"
+                                  or n >= _CELL_LIST_MIN_N)
+    elif method == "cell_list":
+        raise ValueError("cell_list requires box_static")
+
+    if use_cells:
+        from njw_tpu.md.neighbors import (
+            cell_grid, excluded_pair_list, excluded_pairs_energy,
+            nonbonded_energy_cell_list, pick_capacity,
+        )
+
+        nc = cell_grid(box_static, cutoff)
+        capacity = pick_capacity(n, box_static, nc)
+        excl_pairs = excluded_pair_list(topo) if has_bonded else None
+
+        def potential(pos, charge, type_id, box):
+            e_nb = nonbonded_energy_cell_list(
+                pos, charge, type_id, box, lj, cutoff, nc=nc,
+                capacity=capacity)
+            if excl_pairs is not None:
+                e_nb = e_nb - excluded_pairs_energy(
+                    pos, charge, type_id, box, lj, cutoff,
+                    jnp.asarray(excl_pairs))
+            e_b = bonded_energy(pos, box, topo) if has_bonded else 0.0
+            return e_nb + e_b, (e_nb, e_b)
+    else:
+        exclusion = _bonded_exclusion(n, topo) if has_bonded else None
+
+        def potential(pos, charge, type_id, box):
+            e_nb = nonbonded_energy(pos, charge, type_id, box, lj, cutoff,
+                                    exclusion)
+            e_b = bonded_energy(pos, box, topo) if has_bonded else 0.0
+            return e_nb + e_b, (e_nb, e_b)
 
     grad_fn = jax.grad(potential, argnums=0, has_aux=True)
 

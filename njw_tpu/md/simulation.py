@@ -33,7 +33,7 @@ class MDSimulation:
                  integrator: str = "velocity_verlet", cutoff: float = 2.5,
                  thermostat: Optional[str] = None, T0: float = 1.0,
                  tau: float = 0.5, collision_rate: float = 0.1,
-                 seed: int = 0):
+                 seed: int = 0, force_method: str = "auto"):
         if lj is None:
             lj = LJParams(epsilon=jnp.asarray([1.0], jnp.float32),
                           sigma=jnp.asarray([1.0], jnp.float32))
@@ -49,7 +49,9 @@ class MDSimulation:
         self.metrics = {"total_time_ms": 0.0, "num_steps": 0}
         self.trajectory: list[np.ndarray] = []
 
-        force_fn = make_force_fn(topology, lj, cutoff, state.n)
+        force_fn = make_force_fn(topology, lj, cutoff, state.n,
+                                 method=force_method,
+                                 box_static=np.asarray(state.box))
         self._force_fn = force_fn
         dt_f = jnp.float32(dt)
         T0_f = jnp.float32(T0)

@@ -459,17 +459,22 @@ def _sos_apply_scan(x, sos):
 
 def median_filter(x, size: int = 5):
     """Sliding-window median along the last axis (edge-replicated pad;
-    ref median kernel: filter_kernels.cu:422). Vectorized as a framed
-    sort — a width-`size` sorting network on the VPU, no sequential loop."""
+    ref median kernel: filter_kernels.cu:422). Vectorized as a sort of
+    `size` SHIFTED SLICES stacked on a leading axis — slices, not a
+    gather (TPU gathers of (n, size) windows measured 40x slower), and
+    the sort network runs across the small leading axis, vectorized over
+    the signal lanes."""
     if size % 2 == 0:
         raise ValueError("median size must be odd")
     x = jnp.asarray(x, jnp.float32)
     h = size // 2
+    n = x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 1) + [(h, h)]
     xp = jnp.pad(x, pad, mode="edge")
-    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(size)[None, :]
-    frames = xp[..., idx]                      # (..., n, size)
-    return jnp.sort(frames, axis=-1)[..., h]
+    stack = jnp.stack(
+        [jax.lax.slice_in_dim(xp, i, i + n, axis=-1) for i in range(size)],
+        axis=0)                                   # (size, ..., n)
+    return jnp.sort(stack, axis=0)[h]
 
 
 class IIRFilter:
@@ -534,8 +539,12 @@ class AdaptiveFilter:
         d = jnp.asarray(d, jnp.float32)
         L = self.num_taps
         xpad = jnp.concatenate([jnp.zeros(L - 1, jnp.float32), x])
-        frames = xpad[jnp.arange(x.shape[0])[:, None]
-                      + jnp.arange(L)[None, :]][:, ::-1]  # newest first
+        n = x.shape[0]
+        # (n, L) windows, newest first — L shifted slices, not a gather
+        # (TPU window gathers are pathologically slow)
+        frames = jnp.stack(
+            [jax.lax.slice_in_dim(xpad, L - 1 - j, L - 1 - j + n, axis=0)
+             for j in range(L)], axis=1)
 
         if self.method == "block_lms":
             B = self.block_size

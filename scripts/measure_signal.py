@@ -30,6 +30,7 @@ REF_ROWS = {
     "fir_101_1m":      ("FIR filter, 101 taps, 1M",        67.2, 2.8, 0.10),
     "iir_8th_1m":      ("IIR filter, 8th order, 1M",      112.3, 5.1, None),
     "lms_64_50k":      ("Adaptive LMS, 64 taps, 50k",      32.8, 1.7, None),
+    "blms_64_50k":     ("Block-LMS (MXU), 64 taps, 50k",    32.8, 1.7, None),
     "upsample_4x_1m":  ("Upsampling 4x, 1M",               94.1, 3.2, None),
     "downsample_4x_1m": ("Downsampling 4x, 1M",           109.4, 3.8, None),
     "median_11_1m":    ("Median filter 11-pt, 1M",        203.1, 4.8, None),
@@ -122,6 +123,10 @@ def build_rows(iters: int):
     lms = AdaptiveFilter(num_taps=64, method="lms", mu=0.01)
     rows.append(("lms_64_50k", 2,
                  lambda n: probe(lambda x: lms.apply(x, d50k)[1], x50k, n)))
+    blms = AdaptiveFilter(num_taps=64, method="block_lms", mu=0.05,
+                          block_size=256)
+    rows.append(("blms_64_50k", iters,
+                 lambda n: probe(lambda x: blms.apply(x, d50k)[1], x50k, n)))
 
     mr = MultirateFilter(num_taps=64)
     x256k = jnp.asarray(rng.standard_normal(2 ** 18).astype(np.float32))
@@ -134,7 +139,7 @@ def build_rows(iters: int):
                  lambda n: chain(lambda c: median_filter(c, 11), x1m, n)))
 
     xfft = jnp.asarray(rng.standard_normal((1000, 1024)).astype(np.float32))
-    rows.append(("fft_1024_x1k", iters,
+    rows.append(("fft_1024_x1k", iters * 10,
                  lambda n: probe(lambda x: jnp.fft.fft(x), xfft, n)))
 
     x10s = jnp.asarray(
@@ -155,7 +160,7 @@ def build_rows(iters: int):
         xb = x.reshape(-1, k).astype(jnp.bfloat16)
         return jnp.dot(xb, h, preferred_element_type=jnp.float32)
 
-    rows.append(("mxu_conv_1m", iters,
+    rows.append(("mxu_conv_1m", iters * 40,
                  lambda n: probe(mxu_conv, x1m, n)))
 
     xbatch = jnp.asarray(

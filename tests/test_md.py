@@ -167,3 +167,101 @@ class TestSimulationAPI:
         state, topo, lj = create_lj_fluid(27)
         with pytest.raises(ValueError, match="unknown integrator"):
             MDSimulation(state, topo, lj, integrator="rk9")
+
+
+class TestCellList:
+    """Static-shape cell-list neighbors (VERDICT r1 #9; ref NeighborList
+    molecular_system.hpp:247-284)."""
+
+    def _fluid(self, n, density=0.4, seed=3):
+        from njw_tpu.md.system import create_lj_fluid
+
+        st, _topo, lj = create_lj_fluid(n, density=density, T0=1.0,
+                                        seed=seed)
+        return st, lj
+
+    def test_energy_matches_all_pairs(self):
+        import numpy as np
+
+        from njw_tpu.md.forces import nonbonded_energy
+        from njw_tpu.md.neighbors import (
+            cell_grid, nonbonded_energy_cell_list, pick_capacity,
+        )
+        from njw_tpu.md.system import LJParams
+
+        s, lj = self._fluid(512)
+        box = np.asarray(s.box)
+        nc = cell_grid(box, 2.5)
+        cap = pick_capacity(s.n, box, nc)
+        e_cells = float(nonbonded_energy_cell_list(
+            s.pos, s.charge, s.type_id, s.box, lj, 2.5, nc=nc,
+            capacity=cap))
+        e_all = float(nonbonded_energy(s.pos, s.charge, s.type_id, s.box,
+                                       lj, 2.5))
+        assert e_cells == pytest.approx(e_all, rel=1e-4)
+
+    def test_forces_match_all_pairs_at_20k(self):
+        """N=20k: cell-list forces == all-pairs forces (the VERDICT 'done'
+        bar). all-pairs at 20k is 4e8 pairs — run both once on CPU."""
+        import numpy as np
+
+        from njw_tpu.md.forces import make_force_fn
+        from njw_tpu.md.system import Topology
+
+        s, lj = self._fluid(20_000, density=0.2)
+        box = np.asarray(s.box)
+        f_cells, e_cells = make_force_fn(
+            Topology(), lj, 2.5, s.n, method="cell_list",
+            box_static=box)(s)
+        f_all, e_all = make_force_fn(
+            Topology(), lj, 2.5, s.n, method="all_pairs")(s)
+        assert float(e_cells["nonbonded"]) == pytest.approx(
+            float(e_all["nonbonded"]), rel=1e-4)
+        np.testing.assert_allclose(np.asarray(f_cells), np.asarray(f_all),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_occupancy_diagnostic(self):
+        import numpy as np
+
+        from njw_tpu.md.neighbors import (
+            build_cell_table, cell_grid, pick_capacity,
+        )
+
+        s, lj = self._fluid(1000)
+        box = np.asarray(s.box)
+        nc = cell_grid(box, 2.5)
+        cap = pick_capacity(s.n, box, nc)
+        _, _, occ = build_cell_table(s.pos, s.box, nc, cap)
+        assert int(occ) <= cap  # headroom holds for equilibrated density
+
+    def test_exclusions_subtracted(self):
+        """Bonded system: cell-list path (subtract excluded pairs) ==
+        all-pairs path (masked exclusion matrix)."""
+        import numpy as np
+
+        from njw_tpu.md.forces import make_force_fn
+        from njw_tpu.md.system import create_water_box
+
+        s, topo, lj = create_water_box(80, seed=4)
+        box = np.asarray(s.box)
+        if not all(c >= 3 for c in (box / 2.5).astype(int)):
+            pytest.skip("box too small for cells")
+        f_c, e_c = make_force_fn(topo, lj, 2.5, s.n, method="cell_list",
+                                 box_static=box)(s)
+        f_a, e_a = make_force_fn(topo, lj, 2.5, s.n,
+                                 method="all_pairs")(s)
+        assert float(e_c["potential"]) == pytest.approx(
+            float(e_a["potential"]), rel=1e-4)
+        np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_a),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_simulation_auto_selects_cells(self):
+        from njw_tpu.md.simulation import MDSimulation
+        from njw_tpu.md.system import create_lj_fluid
+
+        s, _topo, lj = create_lj_fluid(2500, density=0.3, seed=5)
+        sim = MDSimulation(s, lj=lj, dt=0.002)
+        sim.step(3)
+        import numpy as np
+
+        assert bool(np.isfinite(np.asarray(sim.state.pos)).all())
