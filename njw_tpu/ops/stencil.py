@@ -285,7 +285,7 @@ def swe_rk4_step_pallas_local(
                                 memory_space=pltpu.VMEM),) * 3,
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_vmem_cap(by, w)),
+            vmem_limit_bytes=_vmem_cap(by, nx)),
         interpret=interpret,
     )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)
 
@@ -341,7 +341,7 @@ def swe_rk4_step_pallas_local2d(
                                 memory_space=pltpu.VMEM),) * 3,
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=_vmem_cap(by, w)),
         interpret=interpret,
     )(u_c, u_p, u_p, v_c, v_p, v_p, h_c, h_p, h_p)
 

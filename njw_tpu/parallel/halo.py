@@ -153,7 +153,12 @@ def sharded_swe_step(
     ly, lx = grid.ny // py, grid.nx // px
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
-    bc = grid.bc
+    if grid.bc == "reflective":
+        raise NotImplementedError(
+            "reflective BC is whole-domain-path only (velocity ghost sign "
+            "flips at global walls are not sharded yet)")
+    from njw_tpu.weather.dynamics import scalar_bc
+    bc = scalar_bc(grid.bc)
     beta = params.beta
     use_beta = not (isinstance(beta, (int, float)) and beta == 0.0)
     if ly < 4 or lx < 4:
@@ -269,7 +274,10 @@ def sharded_pe_step(
     ly, lx = grid.ny // py, grid.nx // px
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
-    bc = grid.bc
+    if grid.bc == "reflective":
+        raise NotImplementedError("reflective BC is whole-domain-path only")
+    from njw_tpu.weather.dynamics import scalar_bc
+    bc = scalar_bc(grid.bc)
     if ly < 4 or lx < 4:
         overlap = False
 

@@ -44,8 +44,21 @@ _X, _Y = -1, -2  # axis convention: fields are (..., ny, nx)
 # cell itself, making one-sided half differences at the walls.
 # --------------------------------------------------------------------------
 
+def scalar_bc(bc: str) -> str:
+    """The ghost-cell rule for SCALAR fields under each BC. With
+    cell-centered halo-1 stencils, 'outflow' (zero-gradient) and
+    'reflective' (symmetric about the wall face) both reduce to edge
+    clamping for scalars (ref BC enum: weather_sim.hpp:40-45 declares
+    Periodic/Reflective/Outflow/Custom but never implements them);
+    reflective additionally flips the wall-NORMAL velocity's ghost sign
+    (handled in swe_tendencies)."""
+    return "clamped" if bc in ("clamped", "outflow", "reflective") else bc
+
+
 def _shift(f: Array, delta: int, axis: int, bc: str) -> Array:
-    """Return g with g[i] = f[i + delta] along `axis` under boundary `bc`."""
+    """Return g with g[i] = f[i + delta] along `axis` under boundary `bc`
+    (scalar-field ghost rule; see scalar_bc)."""
+    bc = scalar_bc(bc)
     if bc == "periodic":
         return jnp.roll(f, -delta, axis=axis)
     # clamped: repeat the edge cell
@@ -72,7 +85,7 @@ def pad_and_shift(bc: str, ny: int, nx: int, halo: int = 1):
     crop_fn) matching the swe/pe_tendencies_from_shifts contract.
     """
     h = halo
-    mode = "wrap" if bc == "periodic" else "edge"
+    mode = "wrap" if scalar_bc(bc) == "periodic" else "edge"
 
     def pad(f: Array) -> Array:
         width = [(0, 0)] * (f.ndim - 2) + [(h, h), (h, h)]
@@ -199,8 +212,15 @@ def swe_tendencies(
     if not _is_concrete_zero(params.beta):
         p = params.replace(coriolis_f=coriolis_field(grid, params))
     pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
+    up, vp, hp = pad(s.u), pad(s.v), pad(s.h)
+    if grid.bc == "reflective":
+        # wall-normal velocity ghost flips sign (no-flux wall):
+        # u at the x walls, v at the y walls. Corners get exactly one
+        # flip per component (the other direction is tangential).
+        up = up.at[..., :, 0].multiply(-1.0).at[..., :, -1].multiply(-1.0)
+        vp = vp.at[..., 0, :].multiply(-1.0).at[..., -1, :].multiply(-1.0)
     du, dv, dh = swe_tendencies_from_shifts(
-        pad(s.u), pad(s.v), pad(s.h), shift, grid, p, interior=crop
+        up, vp, hp, shift, grid, p, interior=crop
     )
     return WeatherState(u=du, v=dv, h=dh)
 

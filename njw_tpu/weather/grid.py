@@ -55,7 +55,7 @@ class GridSpec:
         return y, x
 
     def validate(self) -> None:
-        if self.bc not in ("periodic", "clamped"):
+        if self.bc not in ("periodic", "clamped", "outflow", "reflective"):
             raise ValueError(f"unknown boundary condition: {self.bc!r}")
         if self.nx < 3 or self.ny < 3:
             raise ValueError("grid must be at least 3x3 for central differences")

@@ -37,7 +37,7 @@ class SimConfig:
 
     model: str = "shallow_water"  # shallow_water | barotropic | primitive | general
     integration_method: str = "rk4"  # euler|rk2|rk4|adams_bashforth|semi_implicit
-    boundary_condition: str = "periodic"  # periodic | clamped
+    boundary_condition: str = "periodic"  # periodic | clamped | outflow | reflective
 
     grid_width: int = 256
     grid_height: int = 256

@@ -19,8 +19,12 @@ import numpy as np
 F = np.float32
 
 
-def _shift(f: np.ndarray, delta: int, axis: int, bc: str) -> np.ndarray:
-    """g[i] = f[i+delta] with boundary handling ('periodic'|'clamped')."""
+def _shift(f: np.ndarray, delta: int, axis: int, bc: str,
+           edge_sign: float = 1.0) -> np.ndarray:
+    """g[i] = f[i+delta] with boundary handling. Scalar ghost rule:
+    'clamped'/'outflow'/'reflective' all clamp the edge cell (see
+    dynamics.scalar_bc); edge_sign=-1 applies the reflective wall-normal
+    velocity sign flip."""
     if bc == "periodic":
         return np.roll(f, -delta, axis=axis)
     g = np.empty_like(f)
@@ -33,13 +37,13 @@ def _shift(f: np.ndarray, delta: int, axis: int, bc: str) -> np.ndarray:
         src[axis] = slice(1, n)
         edge[axis] = slice(n - 1, n)
         g[tuple(dst)] = f[tuple(src)]
-        g[tuple(edge)] = f[tuple(edge)]
+        g[tuple(edge)] = F(edge_sign) * f[tuple(edge)]
     else:
         dst[axis] = slice(1, n)
         src[axis] = slice(0, n - 1)
         edge[axis] = slice(0, 1)
         g[tuple(dst)] = f[tuple(src)]
-        g[tuple(edge)] = f[tuple(edge)]
+        g[tuple(edge)] = F(edge_sign) * f[tuple(edge)]
     return g
 
 
@@ -63,9 +67,23 @@ def swe_tendencies_np(u, v, h, *, dx, dy, bc, gravity, coriolis_f,
     u = u.astype(F, copy=False)
     v = v.astype(F, copy=False)
     h = h.astype(F, copy=False)
-    u_x, u_y = d_dx(u, dx, bc), d_dy(u, dy, bc)
-    v_x, v_y = d_dx(v, dx, bc), d_dy(v, dy, bc)
-    h_x, h_y = d_dx(h, dx, bc), d_dy(h, dy, bc)
+    bc_s = "clamped" if bc in ("clamped", "outflow", "reflective") else bc
+    if bc == "reflective":
+        # wall-normal velocity ghosts flip sign (no-flux walls)
+        cxs = F(0.5 / dx)
+        cys = F(0.5 / dy)
+        u_x = (_shift(u, 1, -1, bc_s, -1.0)
+               - _shift(u, -1, -1, bc_s, -1.0)) * cxs
+        v_y = (_shift(v, 1, -2, bc_s, -1.0)
+               - _shift(v, -1, -2, bc_s, -1.0)) * cys
+        u_y = d_dy(u, dy, bc_s)
+        v_x = d_dx(v, dx, bc_s)
+    else:
+        u_x, u_y = d_dx(u, dx, bc_s), d_dy(u, dy, bc_s)
+        v_x, v_y = d_dx(v, dx, bc_s), d_dy(v, dy, bc_s)
+    h_x, h_y = d_dx(h, dx, bc_s), d_dy(h, dy, bc_s)
+    reflective = bc == "reflective"
+    bc = bc_s
 
     ny = u.shape[-2]
     y_norm = (np.arange(ny, dtype=F)[:, None] / F(max(ny - 1, 1)))
@@ -77,8 +95,20 @@ def swe_tendencies_np(u, v, h, *, dx, dy, bc, gravity, coriolis_f,
     dh = -h * (u_x + v_y) - u * h_x - v * h_y
     if viscosity:
         nu = F(viscosity)
-        du = du + nu * laplacian(u, dx, dy, bc)
-        dv = dv + nu * laplacian(v, dx, dy, bc)
+        if reflective:
+            # velocity laplacians use the same flipped wall-normal ghosts
+            def lap_signed(a, sx, sy):
+                axx = (_shift(a, 1, -1, bc, sx) - F(2.0) * a
+                       + _shift(a, -1, -1, bc, sx)) / F(dx * dx)
+                ayy = (_shift(a, 1, -2, bc, sy) - F(2.0) * a
+                       + _shift(a, -1, -2, bc, sy)) / F(dy * dy)
+                return axx + ayy
+
+            du = du + nu * lap_signed(u, -1.0, 1.0)
+            dv = dv + nu * lap_signed(v, 1.0, -1.0)
+        else:
+            du = du + nu * laplacian(u, dx, dy, bc)
+            dv = dv + nu * laplacian(v, dx, dy, bc)
     return du, dv, dh
 
 
