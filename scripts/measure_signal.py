@@ -108,7 +108,7 @@ def build_rows(iters: int):
     taps101 = design_fir_lowpass(101, 0.25)
     rows = []
 
-    rows.append(("fir_101_1m", iters,
+    rows.append(("fir_101_1m", iters * 20,
                  lambda n: chain(lambda c: fir_apply(c, taps101), x1m, n)))
 
     sos8 = np.asarray(IIRFilter(design="butterworth", order=8,
