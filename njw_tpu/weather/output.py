@@ -1,4 +1,5 @@
-"""Output managers: CSV / NPZ / VTK writers + factory + field statistics.
+"""Output managers: CSV / NPZ / NetCDF / VTK writers + factory + field
+statistics.
 
 Working implementation of the capability the reference only declares —
 its CSVOutputManager/NetCDFOutputManager/VTKOutputManager/
@@ -7,8 +8,9 @@ OutputManagerFactory/FieldStatistics are header-only with no .cpp anywhere
 SURVEY §0.1). Formats:
 
   csv   one file per snapshot, long format (x, y, field, value)
-  npz   compressed arrays per snapshot (the NetCDF-role self-describing
-        binary format here — no netCDF4/zarr dep in the image)
+  npz   compressed arrays per snapshot (fast self-describing binary)
+  netcdf REAL classic NetCDF-3 via a pure-Python writer
+        (njw_tpu.utils.netcdf3) — readable by ncdump/xarray/scipy
   vtk   legacy VTK structured-points ASCII, loadable by ParaView
 
 Each manager implements write(fields, step, time) and close(); the factory
@@ -98,6 +100,41 @@ class NPZOutputManager(OutputManager):
         return path
 
 
+class NetCDFOutputManager(OutputManager):
+    """REAL classic NetCDF-3 files via the pure-Python writer
+    (njw_tpu.utils.netcdf3) — the capability the reference only declares
+    (ref: output_manager.hpp:103 NetCDFOutputManager, no .cpp). Readable
+    by ncdump/xarray/scipy."""
+
+    def write(self, fields, step, time):
+        from njw_tpu.utils.netcdf3 import write_netcdf
+
+        path = self._fname(step, "nc")
+        sel = self._select(fields)
+        dims: dict[str, int] = {}
+        variables = {}
+        for name, arr in sel.items():
+            arr = np.asarray(arr)
+            if arr.ndim == 2:
+                ny, nx = arr.shape
+                dims.setdefault("y", ny)
+                dims.setdefault("x", nx)
+                variables[name] = (("y", "x"), arr)
+            elif arr.ndim == 3:
+                lev, ny, nx = arr.shape
+                dims.setdefault("level", lev)
+                dims.setdefault("y", ny)
+                dims.setdefault("x", nx)
+                variables[name] = (("level", "y", "x"), arr)
+            else:
+                variables[name] = ((), arr.reshape(()))
+        write_netcdf(path, variables, dims,
+                     global_attrs={"step": int(step), "time": float(time),
+                                   "source": "njw_tpu"})
+        self.written.append(path)
+        return path
+
+
 class VTKOutputManager(OutputManager):
     """Legacy VTK structured-points ASCII (ref: output_manager.hpp:166)."""
 
@@ -124,7 +161,7 @@ class VTKOutputManager(OutputManager):
 _MANAGERS: dict[str, Callable[..., OutputManager]] = {
     "csv": CSVOutputManager,
     "npz": NPZOutputManager,
-    "netcdf": NPZOutputManager,  # npz fills the NetCDF role (no netCDF4 dep)
+    "netcdf": NetCDFOutputManager,
     "vtk": VTKOutputManager,
 }
 
