@@ -70,6 +70,42 @@ def load_checkpoint(path: str, like: Any = None):
     return state, meta
 
 
+def save_checkpoint_orbax(path: str, state: Any, *, step: int = 0,
+                          time: float = 0.0,
+                          extra: Optional[dict] = None) -> str:
+    """Multi-host-safe checkpoint via orbax: each process writes its
+    addressable shards (no host gather — the npz path gathers and is
+    single-controller only). Use for sharded states on pods."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"state": state}, force=True)
+    ckptr.wait_until_finished()
+    # metadata sidecar (strings are not a StandardCheckpointer leaf type)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "njw_meta.json"), "w") as fh:
+            json.dump({"step": int(step), "time": float(time),
+                       "extra": extra or {}}, fh)
+    return path
+
+
+def load_checkpoint_orbax(path: str, like: Any):
+    """Restore an orbax checkpoint into the structure (and shardings) of
+    ``like``. Returns (state, meta)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(path, {"state": like})
+    meta_path = os.path.join(path, "njw_meta.json")
+    meta = {"step": 0, "time": 0.0, "extra": {}}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    return out["state"], meta
+
+
 def save_simulation(path: str, sim) -> str:
     """Checkpoint a njw_tpu.weather Simulation (state + step counter +
     config snapshot)."""

@@ -154,3 +154,36 @@ class TestNetCDF3:
         assert path.endswith(".nc")
         variables, dims, gatts = read_netcdf(path)
         assert "h" in variables and dims["x"] == 4
+
+
+class TestOrbaxCheckpoint:
+    """Multi-host-safe checkpoint backend (ROADMAP r1: orbax pending)."""
+
+    def test_roundtrip_sharded_state(self, tmp_path):
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from njw_tpu.parallel.halo import sharded_state
+        from njw_tpu.utils.checkpoint import (
+            load_checkpoint_orbax, save_checkpoint_orbax,
+        )
+        from njw_tpu.weather.grid import GridSpec, WeatherState
+        from njw_tpu.weather.ics import make_initial_state
+
+        grid = GridSpec(nx=32, ny=32)
+        s = make_initial_state("vortex", grid, strength=2.0)
+        s = WeatherState(u=s.u, v=s.v, h=s.h)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+        sharded = sharded_state(s, mesh)
+
+        p = save_checkpoint_orbax(str(tmp_path / "ck"), sharded,
+                                  step=12, time=0.12,
+                                  extra={"note": "r2"})
+        back, meta = load_checkpoint_orbax(p, sharded)
+        assert meta["step"] == 12
+        assert meta["extra"]["note"] == "r2"
+        np.testing.assert_array_equal(np.asarray(back.h),
+                                      np.asarray(sharded.h))
+        # restored array keeps the sharding of the template
+        assert back.h.sharding == sharded.h.sharding
