@@ -170,3 +170,78 @@ class TestPointCloud:
         n = compute_normals(pc, cell_size=2.0)
         nz_ground = n[:4000, 2]
         assert (nz_ground > 0.9).mean() > 0.85
+
+
+class TestGeospatialMetrics:
+    """ref: benchmark/metrics.py:20-260 GeospatialMetrics roles."""
+
+    def test_series_and_averages(self):
+        from njw_tpu.geospatial.metrics import GeospatialMetrics
+
+        m = GeospatialMetrics()
+        m.record_metric("x", 1.0)
+        m.record_metric("x", 3.0)
+        assert m.get_latest_metric("x") == 3.0
+        assert m.get_average_metric("x") == 2.0
+        assert m.get_metric("missing") == []
+
+    def test_throughput_records(self):
+        from njw_tpu.geospatial.metrics import GeospatialMetrics
+
+        m = GeospatialMetrics()
+        tp = m.record_viewshed_performance(512, 512, 0.5)
+        assert tp == pytest.approx(512 * 512 / 0.5)
+        tp2 = m.record_point_classification_performance(10000, 0.1)
+        assert tp2 == pytest.approx(1e5)
+        assert "viewshed_throughput_cells_per_s" in m.summary()
+
+    def test_accuracy_metrics(self):
+        import numpy as np
+
+        from njw_tpu.geospatial.metrics import (
+            classification_scores, raster_rmse, viewshed_agreement,
+        )
+
+        a = np.zeros((4, 4))
+        b = np.ones((4, 4))
+        assert raster_rmse(a, b) == pytest.approx(1.0)
+        assert viewshed_agreement([1, 0, 1], [1, 0, 0]) == pytest.approx(2 / 3)
+        scores = classification_scores([0, 0, 1, 1], [0, 1, 1, 1])
+        assert scores[1]["precision"] == 1.0
+        assert scores[1]["recall"] == pytest.approx(2 / 3)
+
+
+class TestGeospatialViz:
+    """ref: benchmark/visualization.py:42-1050 view roles."""
+
+    def test_report_renders_all_views(self, tmp_path):
+        import numpy as np
+
+        from njw_tpu.geospatial.datasets import synthetic_dem
+        from njw_tpu.viz.geospatial import generate_geospatial_report
+
+        dem = synthetic_dem(64, seed=1)
+        rng = np.random.default_rng(0)
+        visible = rng.random((64, 64)) > 0.5
+        slope = np.abs(np.gradient(dem)[0])
+        aspect = np.arctan2(*np.gradient(dem))
+        flow = rng.random((64, 64)) * 100
+        pts = rng.random((500, 3)) * 64
+        page = generate_geospatial_report(
+            str(tmp_path), dem, visible=visible, observer_xy=(32, 32),
+            slope=slope, aspect=aspect, flow_acc=flow, points=pts,
+            metrics={"viewshed_cells_per_s": 1e8})
+        import os
+
+        for f in ("dem.png", "terrain3d.png", "viewshed.png",
+                  "derivatives.png", "flow.png", "points.png",
+                  "index.html"):
+            assert os.path.exists(tmp_path / f), f
+        assert "viewshed_cells_per_s" in open(page).read()
+
+    def test_hillshade_range(self):
+        from njw_tpu.geospatial.datasets import synthetic_dem
+        from njw_tpu.viz.geospatial import hillshade
+
+        hs = hillshade(synthetic_dem(32, seed=2))
+        assert hs.min() >= 0.0 and hs.max() <= 1.0
