@@ -59,9 +59,22 @@ class FFT:
 
 
 def _frame(x: jnp.ndarray, nperseg: int, step: int) -> jnp.ndarray:
-    """(..., n) -> (..., frames, nperseg) via gather of strided windows."""
+    """(..., n) -> (..., frames, nperseg) strided windows.
+
+    When nperseg % step == 0 (the standard 50%-overlap case) the windows
+    are built from nperseg/step SLICES of a hop-chunked reshape — TPU
+    window gathers are pathologically slow (~40x); the gather path is
+    only the ragged fallback."""
     n = x.shape[-1]
     n_frames = 1 + (n - nperseg) // step if n >= nperseg else 0
+    if n_frames > 0 and nperseg % step == 0:
+        k = nperseg // step
+        rows_needed = n_frames + k - 1
+        xr = x[..., :rows_needed * step].reshape(
+            x.shape[:-1] + (rows_needed, step))
+        parts = [jax.lax.slice_in_dim(xr, i, i + n_frames, axis=-2)
+                 for i in range(k)]
+        return jnp.concatenate(parts, axis=-1)
     idx = (jnp.arange(n_frames)[:, None] * step
            + jnp.arange(nperseg)[None, :])
     return x[..., idx]
