@@ -73,3 +73,31 @@ class TestImagingViz:
             p = str(tmp_path / name)
             fn(*args, path=p)
             assert os.path.getsize(p) > 0
+
+
+class TestGeoFinancialViz:
+    """ref: integrations/geo_financial/visualization.py:1-575 roles."""
+
+    def test_report_renders_all_views(self, tmp_path):
+        import os
+
+        from njw_tpu.geofinancial.geo_risk import (
+            GeospatialRiskModel, create_flood_risk_factor,
+        )
+        from njw_tpu.geofinancial.scenarios import create_climate_scenarios
+        from njw_tpu.geofinancial.testdata import (
+            generate_assets, generate_dem, generate_returns,
+        )
+        from njw_tpu.viz.geofinancial import generate_geofin_report
+
+        dem = generate_dem(64, seed=3)
+        model = GeospatialRiskModel([create_flood_risk_factor(dem)])
+        port = generate_assets(25, extent=64.0, seed=3)
+        page = generate_geofin_report(
+            str(tmp_path), port, model,
+            scenarios=create_climate_scenarios(),
+            returns=generate_returns(6, 60, seed=3))
+        for f in ("risk_map.png", "portfolio.png", "distribution.png",
+                  "scenarios.png", "returns.png", "index.html"):
+            assert os.path.exists(tmp_path / f), f
+        assert "expected loss" in open(page).read()
