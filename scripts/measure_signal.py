@@ -65,15 +65,18 @@ def timed_loop(make_run, iters: int) -> float:
 
 
 def chain(op, x0, _n):
-    """Same-shape op iterated through its own output (runtime count)."""
+    """Same-shape op iterated through its own output (runtime count).
+    x0 is a jit ARGUMENT, not a closure — closed-over arrays are baked
+    into the HLO as literals and blow the remote compile request size
+    (HTTP 413 at 400 MB)."""
     import jax
 
     @jax.jit
-    def run(n):
-        y = jax.lax.fori_loop(0, n, lambda i, c: op(c), x0)
+    def run(n, x):
+        y = jax.lax.fori_loop(0, n, lambda i, c: op(c), x)
         return jax.numpy.sum(jax.numpy.abs(y[..., :8]))
 
-    return run
+    return lambda n: run(n, x0)
 
 
 def probe(op, x0, _n):
@@ -83,14 +86,14 @@ def probe(op, x0, _n):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(n):
+    def run(n, x):
         def body(i, c):
-            y = op(x0 + c)
+            y = op(x + c)
             return jnp.sum(jnp.abs(jnp.real(y))) * jnp.float32(1e-30)
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    return run
+    return lambda n: run(n, x0)
 
 
 def build_rows(iters: int):
@@ -144,7 +147,7 @@ def build_rows(iters: int):
 
     x10s = jnp.asarray(
         rng.standard_normal(441_000).astype(np.float32))  # 10 s @ 44.1 kHz
-    rows.append(("spectrogram_10s", iters,
+    rows.append(("spectrogram_10s", iters * 10,
                  lambda n: probe(
                      lambda x: compute_spectrogram(x, fs=44100.0,
                                                    nperseg=1024)[2], x10s, n)))
