@@ -708,3 +708,74 @@ def design_fir_equiripple(num_taps: int, bands, desired, weights=None,
         wt = wt / wt.sum() * len(wt)
     h = np.concatenate([c[:0:-1], [c[0]], c[1:]]).astype(np.float32)
     return h
+
+
+# ---------------------------------------------------------------------------
+# Streaming (stateful chunked) filters — the reference's filters carry
+# internal state across apply() calls (reset() contract,
+# ref: digital_filtering.h:140-233); these classes provide that for
+# chunked/real-time pipelines. Chunk results are bit-identical to
+# filtering the concatenated signal in one call.
+# ---------------------------------------------------------------------------
+
+
+class StreamingFIR:
+    """Causal FIR over chunks: carries the last (taps-1) input samples."""
+
+    def __init__(self, taps):
+        self.taps = np.asarray(taps, np.float32)
+        self.reset()
+
+    def reset(self):
+        self._tail = jnp.zeros(len(self.taps) - 1, jnp.float32)
+
+    def process(self, chunk):
+        chunk = jnp.asarray(chunk, jnp.float32)
+        k = len(self.taps)
+        xx = jnp.concatenate([self._tail, chunk])
+        y = fir_apply(xx, self.taps, mode="causal")[k - 1:]
+        self._tail = xx[-(k - 1):] if k > 1 else self._tail
+        return y
+
+
+@jax.jit
+def _sos_chunk_scan(xb, sos, zi):
+    """One chunk through the SOS cascade with carried per-section state.
+    zi: (S, 2, B) transposed-DF-II (d1, d2) per section per batch row."""
+
+    def one_section(carry, sec):
+        xb_cur, _ = carry
+        coef, z = sec
+
+        def step(c, xt):
+            d1, d2 = c
+            y = coef[0] * xt + d1
+            d1n = coef[1] * xt - coef[4] * y + d2
+            d2n = coef[2] * xt - coef[5] * y
+            return (d1n, d2n), y
+
+        (d1, d2), y = jax.lax.scan(step, (z[0], z[1]), xb_cur.T)
+        return (y.T, None), jnp.stack([d1, d2])
+
+    (yb, _), zf = jax.lax.scan(one_section, (xb, None), (sos, zi))
+    return yb, zf
+
+
+class StreamingIIR:
+    """SOS cascade over chunks with carried section states (transposed
+    DF-II) — bit-identical to one-shot sos_apply(method='scan')."""
+
+    def __init__(self, sos, batch: int = 1):
+        self.sos = jnp.asarray(np.asarray(sos, np.float32))
+        self.batch = batch
+        self.reset()
+
+    def reset(self):
+        self._z = jnp.zeros((self.sos.shape[0], 2, self.batch), jnp.float32)
+
+    def process(self, chunk):
+        chunk = jnp.asarray(chunk, jnp.float32)
+        squeeze = chunk.ndim == 1
+        xb = chunk[None, :] if squeeze else chunk
+        yb, self._z = _sos_chunk_scan(xb, self.sos, self._z)
+        return yb[0] if squeeze else yb

@@ -483,3 +483,47 @@ class TestBlockLMS:
         x = np.random.default_rng(0).standard_normal(200).astype(np.float32)
         y, e, w = af.apply(x, x)
         assert y.shape == (200,) and e.shape == (200,)
+
+
+class TestStreamingFilters:
+    """Stateful chunked filtering (ROADMAP r1; ref reset() contract,
+    digital_filtering.h:140-233): chunked == one-shot."""
+
+    def test_streaming_fir_matches_oneshot(self):
+        from njw_tpu.signal.filters import (
+            StreamingFIR, design_fir_lowpass, fir_apply,
+        )
+
+        rng = np.random.default_rng(20)
+        x = rng.standard_normal(1000).astype(np.float32)
+        taps = design_fir_lowpass(31, 0.3)
+        ref = np.asarray(fir_apply(x, taps, mode="causal"))
+        sf = StreamingFIR(taps)
+        out = np.concatenate([np.asarray(sf.process(c))
+                              for c in np.split(x, [100, 350, 720])])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_streaming_iir_matches_oneshot(self):
+        from njw_tpu.signal.filters import StreamingIIR, sos_apply
+
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal(800).astype(np.float32)
+        sos = np.asarray(IIRFilter(design="butterworth", order=6,
+                                   cutoff=0.25).sos)
+        ref = np.asarray(sos_apply(x, sos, method="scan"))
+        si = StreamingIIR(sos)
+        out = np.concatenate([np.asarray(si.process(c))
+                              for c in np.split(x, [64, 200, 500])])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_reset(self):
+        from njw_tpu.signal.filters import StreamingIIR
+
+        sos = np.asarray(IIRFilter(design="butterworth", order=2,
+                                   cutoff=0.3).sos)
+        si = StreamingIIR(sos)
+        x = np.ones(50, np.float32)
+        a = np.asarray(si.process(x))
+        si.reset()
+        b = np.asarray(si.process(x))
+        np.testing.assert_array_equal(a, b)
