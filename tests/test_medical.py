@@ -240,3 +240,42 @@ class TestImageIO:
     def test_unsupported_format(self, tmp_path):
         with pytest.raises(ValueError):
             load_image(str(tmp_path / "x.dcm"))
+
+
+class TestDeformableRegistration:
+    """B-spline free-form registration (ref declares deformable in
+    RegistrationMethod, medical_imaging.hpp:971, kernels absent)."""
+
+    def test_recovers_smooth_deformation(self):
+        import numpy as np
+
+        from njw_tpu.medical.registration import (
+            register_deformable, warp_deformable,
+        )
+
+        # smooth synthetic image
+        y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+        img = (np.sin(x / 6.0) * np.cos(y / 7.0)
+               + 0.5 * np.exp(-((x - 32) ** 2 + (y - 30) ** 2) / 200))
+        # known smooth warp via a random small control grid
+        rng = np.random.default_rng(0)
+        true_ctrl = rng.normal(0.0, 1.5, (2, 9, 9)).astype(np.float32)
+        moving = np.asarray(warp_deformable(img, -true_ctrl))
+
+        ctrl, warped, hist = register_deformable(
+            img, moving, grid_shape=(6, 6), n_iterations=200,
+            learning_rate=1.0, smooth_weight=0.001)
+        mse0 = float(np.mean((moving - img) ** 2))
+        mse1 = float(np.mean((warped - img) ** 2))
+        assert hist[-1] < hist[0]
+        assert mse1 < 0.3 * mse0  # large residual reduction
+
+    def test_zero_control_is_identity(self):
+        import numpy as np
+
+        from njw_tpu.medical.registration import warp_deformable
+
+        img = np.random.default_rng(1).random((32, 48)).astype(np.float32)
+        out = np.asarray(warp_deformable(img, np.zeros((2, 8, 8),
+                                                       np.float32)))
+        np.testing.assert_allclose(out, img, atol=1e-5)
