@@ -160,3 +160,60 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert out["particles"] == 64 and out["steps"] == 10
     assert (tmp_path / "final_state.npz").exists()
     assert (tmp_path / "visualization.npz").exists()
+
+
+class TestParticleMesh:
+    """PM gravity for N >> 1e5 (TPU-native long-range solver; the
+    reference caps at O(N^2) direct summation, particle.py:119-152)."""
+
+    def test_two_body_matches_newton(self):
+        from njw_tpu.nbody.pm import pm_accelerations
+
+        # two unit masses separated by 0.15 box lengths; periodic images
+        # contribute at the few-percent level
+        pos = np.array([[0.40, 0.5, 0.5], [0.55, 0.5, 0.5]], np.float32)
+        mass = np.ones(2, np.float32)
+        acc = np.asarray(pm_accelerations(pos, mass, mesh=96, box=1.0))
+        r = 0.15
+        newton = 1.0 / r ** 2
+        # force along +x on particle 0, -x on particle 1
+        assert acc[0, 0] > 0 > acc[1, 0]
+        np.testing.assert_allclose(abs(acc[0, 0]), newton, rtol=0.08)
+        np.testing.assert_allclose(acc[0], -acc[1], atol=newton * 0.02)
+
+    def test_momentum_conservation(self):
+        from njw_tpu.nbody.pm import pm_accelerations
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        pos = rng.random((n, 3)).astype(np.float32)
+        mass = rng.random(n).astype(np.float32) + 0.5
+        acc = np.asarray(pm_accelerations(pos, mass, mesh=32))
+        net = (mass[:, None] * acc).sum(axis=0)
+        scale = np.abs(mass[:, None] * acc).sum()
+        assert np.abs(net).max() < 1e-4 * scale
+
+    def test_mesh_consistency(self):
+        """PM converges to the PERIODIC (Ewald) force, not the isolated
+        Newton value — at r=0.3L the image lattice reduces the pair force
+        ~15%. Successive meshes must agree (the solver is converged),
+        and the value must sit below isolated Newton (image pull)."""
+        from njw_tpu.nbody.pm import pm_accelerations
+
+        pos = np.array([[0.35, 0.5, 0.5], [0.65, 0.5, 0.5]], np.float32)
+        mass = np.ones(2, np.float32)
+        a64 = np.asarray(pm_accelerations(pos, mass, mesh=64))[0, 0]
+        a128 = np.asarray(pm_accelerations(pos, mass, mesh=128))[0, 0]
+        assert abs(a64 - a128) < 0.01 * abs(a128)
+        newton = 1.0 / 0.3 ** 2
+        assert 0.7 * newton < abs(a128) < newton
+
+    def test_large_n_runs(self):
+        from njw_tpu.nbody.pm import pm_accelerations
+
+        rng = np.random.default_rng(4)
+        n = 200_000
+        pos = rng.random((n, 3)).astype(np.float32)
+        mass = np.ones(n, np.float32)
+        acc = np.asarray(pm_accelerations(pos, mass, mesh=64))
+        assert acc.shape == (n, 3) and np.isfinite(acc).all()
