@@ -434,3 +434,112 @@ def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
         return carry, out
 
     return Stepper(lambda s: (), step, "pe_rk4_pallas", 4)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "lx", "L", "c_dt", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def pe_stage_pallas_local2d(
+    u_p, v_p, T_p, q_p, ps_p, base: PEState, *, ly: int, lx: int, L: int,
+    c_dt: float, coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+) -> PEState:
+    """Fused PE stage on a 2-D-halo-padded LOCAL block (L, ly+16, lx+256).
+
+    The ('y','x')-mesh variant of pe_stage_pallas_local: the shard_map
+    caller ppermutes 128-lane x slabs, then 1-row y slabs of the x-padded
+    block (embedded in 8-row filler slabs); this runs the same stage
+    kernel with the x halo supplied from the padded columns. Returns
+    out = base + c_dt * T(cur) on the (L, ly, lx) interior.
+    """
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        picked = _pick_blocks(L, ly, lx,
+                              int(detect().vmem_physical_bytes * 0.8))
+        if picked is None:
+            raise ValueError("PE pallas local2d: VMEM budget exceeded")
+        by = picked[0]
+    if ly % by or lx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or lx % 128 != 0")
+    r = by // 8
+
+    kern = functools.partial(
+        _pe_stage_kernel, L=L, by=by, bx=lx, dx=float(dx), dy=float(dy),
+        f=float(coriolis_f), c_dt=float(c_dt),
+    )
+    # operand views of the single padded array:
+    #   center   rows 8:8+ly, cols 128:128+lx
+    #   x halos  rows 8:8+ly, cols [0:128 | lx+128:lx+256] (concat -> 256)
+    #   y slabs  all rows, cols 128:128+lx (1 true row in each 8-row slab)
+    c3 = pl.BlockSpec((L, by, lx), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, lx), lambda i: (0, i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, lx), lambda i: (0, (i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    r3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, 1),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, lx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, lx), lambda i: (i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, lx), lambda i: ((i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l2 = pl.BlockSpec((by, LANE), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    r2 = pl.BlockSpec((by, LANE), lambda i: (i, 1),
+                      memory_space=pltpu.VMEM)
+
+    def views3(a):
+        c = jax.lax.slice(a, (0, 8, LANE), (L, 8 + ly, LANE + lx))
+        yc = jax.lax.slice(a, (0, 0, LANE), (L, ly + 16, LANE + lx))
+        xh = jnp.concatenate([
+            jax.lax.slice(a, (0, 8, 0), (L, 8 + ly, LANE)),
+            jax.lax.slice(a, (0, 8, LANE + lx), (L, 8 + ly, 2 * LANE + lx)),
+        ], axis=2)
+        return c, yc, xh
+
+    def views2(a):
+        c = jax.lax.slice(a, (8, LANE), (8 + ly, LANE + lx))
+        yc = jax.lax.slice(a, (0, LANE), (ly + 16, LANE + lx))
+        xh = jnp.concatenate([
+            jax.lax.slice(a, (8, 0), (8 + ly, LANE)),
+            jax.lax.slice(a, (8, LANE + lx), (8 + ly, 2 * LANE + lx)),
+        ], axis=1)
+        return c, yc, xh
+
+    u_c, u_y, u_x = views3(u_p)
+    v_c, v_y, v_x = views3(v_p)
+    T_c, T_y, T_x = views3(T_p)
+    q_c, q_y, q_x = views3(q_p)
+    ps_c, ps_y, ps_x = views2(ps_p)
+
+    s3 = jax.ShapeDtypeStruct((L, ly, lx), jnp.float32)
+    s2 = jax.ShapeDtypeStruct((ly, lx), jnp.float32)
+    vmem_limit = min(_vmem_estimate(L, by, lx) + (8 << 20), 100 << 20)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=(
+            [c3, t3, b3, l3, r3] * 4 + [c2, t2, b2, l2, r2]
+            + [c3, c3, c3, c3, c2]
+        ),
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(s3, s3, s3, s3, s2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        u_c, u_y, u_y, u_x, u_x,
+        v_c, v_y, v_y, v_x, v_x,
+        T_c, T_y, T_y, T_x, T_x,
+        q_c, q_y, q_y, q_x, q_x,
+        ps_c, ps_y, ps_y, ps_x, ps_x,
+        base.u, base.v, base.T, base.q, base.ps,
+    )
+    return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])

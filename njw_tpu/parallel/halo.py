@@ -477,6 +477,9 @@ def sharded_pe_step_pallas(
         raise NotImplementedError("pallas sharded PE requires periodic BC")
     if not isinstance(params.coriolis_f, numbers.Number):
         raise NotImplementedError("constant Coriolis f only")
+    if mesh.devices.ndim == 2 and mesh.devices.shape[1] > 1:
+        return sharded_pe_step_pallas_2d(
+            grid, params, mesh, dt=dt, n_steps=n_steps, interpret=interpret)
     n_dev = int(mesh.devices.size)
     if grid.ny % n_dev:
         raise ValueError(f"ny={grid.ny} not divisible by {n_dev} devices")
@@ -643,6 +646,78 @@ def sharded_swe_step_pallas_2d(
         return state
 
     spec = WeatherState(u=P("y", "x"), v=P("y", "x"), h=P("y", "x"))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def sharded_pe_step_pallas_2d(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    n_steps: int = 1, interpret: bool = False,
+):
+    """Multi-chip PE with the fused stage kernel over a ('y','x') mesh
+    (the BASELINE config-5 decomposition): per RK stage each shard
+    ppermutes 128-lane x halo slabs, then one y halo row of the x-padded
+    block (embedded in 8-row filler slabs), and runs the stage kernel on
+    the (L, ly+16, lx+256) padded fields."""
+    import numbers
+
+    from njw_tpu.ops.pe_stencil import pe_stage_pallas_local2d
+    from njw_tpu.weather.primitive import PEState
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("pallas sharded PE requires periodic BC")
+    if not isinstance(params.coriolis_f, numbers.Number):
+        raise NotImplementedError("constant Coriolis f only")
+    py, px = mesh.devices.shape
+    if grid.ny % py or grid.nx % px:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} not divisible by mesh {py}x{px}")
+    ly, lx = grid.ny // py, grid.nx // px
+    if ly % 8 or lx % 128:
+        raise ValueError("per-shard block must be a multiple of (8, 128)")
+    L = grid.levels
+    dt = float(dt)
+    f = float(params.coriolis_f)
+
+    def pad_2d(a):
+        """x: 128-lane slabs; y: ONE true row each way inside 8-row
+        filler slabs (kernel reads only slab rows 7 / 0)."""
+        left = _ring_shift(a[..., :, -128:], "x", +1)
+        right = _ring_shift(a[..., :, :128], "x", -1)
+        ax = jnp.concatenate([left, a, right], axis=-1)
+        top_row = _ring_shift(ax[..., -1:, :], "y", +1)
+        bot_row = _ring_shift(ax[..., :1, :], "y", -1)
+        filler = jnp.zeros(ax.shape[:-2] + (7, ax.shape[-1]), ax.dtype)
+        return jnp.concatenate(
+            [filler, top_row, ax, bot_row, filler], axis=-2)
+
+    def stage(cur: PEState, base: PEState, c_dt: float) -> PEState:
+        return pe_stage_pallas_local2d(
+            pad_2d(cur.u), pad_2d(cur.v), pad_2d(cur.T), pad_2d(cur.q),
+            pad_2d(cur.ps), base, ly=ly, lx=lx, L=L, c_dt=c_dt,
+            coriolis_f=f, dx=float(grid.dx), dy=float(grid.dy),
+            interpret=interpret,
+        )
+
+    def one_step(s: PEState) -> PEState:
+        s1 = stage(s, s, 0.5 * dt)
+        s2 = stage(s1, s, 0.5 * dt)
+        s3 = stage(s2, s, dt)
+        acc = jax.tree.map(
+            lambda a, b, c, d: (-a + b + 2.0 * c + d) * (1.0 / 3.0),
+            s, s1, s2, s3)
+        return stage(s3, acc, dt / 6.0)
+
+    def local_steps(state: PEState) -> PEState:
+        def body(s, _):
+            return one_step(s), None
+
+        state, _ = lax.scan(body, state, None, length=n_steps)
+        return state
+
+    p3 = P(None, "y", "x")
+    spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -323,3 +323,35 @@ class TestShardedPallasSWE:
         np.testing.assert_allclose(
             np.asarray(sharded.u), np.asarray(sim.state.u),
             rtol=1e-5, atol=1e-4)
+
+
+class TestShardedPEPallas2D:
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)])
+    def test_matches_single_device(self, mesh_shape):
+        """2-D ('y','x') PE-Pallas decomposition == whole-domain XLA
+        (x halo slabs + local2d stage kernel; BASELINE config-5 mesh)."""
+        from njw_tpu.parallel.halo import sharded_pe_step_pallas
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        py, px = mesh_shape
+        grid = GridSpec(nx=128 * px, ny=16 * py, levels=3, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+
+        mesh = _mesh(py, px)
+        step = sharded_pe_step_pallas(grid, params, mesh, dt=30.0,
+                                      n_steps=5, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(model="primitive", grid_width=grid.nx,
+                        grid_height=grid.ny, num_levels=3, dx=1e5, dy=1e5,
+                        dt=30.0, coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=15.0,
+                                     perturb=0.5)
+        sim.step(5)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name)),
+                np.asarray(getattr(sim.state, name)),
+                rtol=1e-3, atol=5e-4, err_msg=name,
+            )
