@@ -72,8 +72,8 @@ def _pe_stage_kernel(
 
     def pad3(c, t, b, xl, xr):
         mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=2)
-        top = t[:, 7:8, :]
-        bot = b[:, 0:1, :]
+        top = t[:, -1:, :]   # slab-height agnostic: last row of the top
+        bot = b[:, 0:1, :]   # slab, first row of the bottom slab
         # self-wrapped x pad for the halo rows: finite, consumed only by
         # cropped outputs (no corner terms in the stage stencil)
         top = jnp.concatenate([top[..., -LANE:], top, top[..., :LANE]], 2)
@@ -82,7 +82,7 @@ def _pe_stage_kernel(
 
     def pad2(c, t, b, xl, xr):
         mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=1)
-        top = t[7:8, :]
+        top = t[-1:, :]
         bot = b[0:1, :]
         top = jnp.concatenate([top[..., -LANE:], top, top[..., :LANE]], 1)
         bot = jnp.concatenate([bot[..., -LANE:], bot, bot[..., :LANE]], 1)
@@ -241,6 +241,8 @@ def _block_specs(L: int, ny: int, nx: int, by: int, bx: int):
     nby = ny // 8
     cxb = bx // LANE
     nxb = nx // LANE
+    # NOTE: Pallas TPU requires sublane block dims divisible by 8, so the
+    # y halo rides in 8-row slabs (only the adjacent row is read).
     c3 = pl.BlockSpec((L, by, bx), lambda i, j: (0, i, j),
                       memory_space=pltpu.VMEM)
     t3 = pl.BlockSpec((L, 8, bx), lambda i, j: (0, (i * r - 1) % nby, j),
