@@ -18,5 +18,6 @@ from njw_tpu.md.system import (
     MDState, Topology, LJParams, create_lj_fluid, create_water_box,
     load_from_pdb, temperature, kinetic_energy,
 )
-from njw_tpu.md.forces import forces_and_energy
+from njw_tpu.md.forces import forces_and_energy, make_force_fn
+from njw_tpu.md.ewald import make_ewald_coulomb
 from njw_tpu.md.simulation import MDSimulation

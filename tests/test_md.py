@@ -265,3 +265,69 @@ class TestCellList:
         import numpy as np
 
         assert bool(np.isfinite(np.asarray(sim.state.pos)).all())
+
+
+class TestEwald:
+    """Exact Ewald Coulomb (matmul structure factors; the reference has
+    only cutoff-truncated Coulomb — wrong for ionic systems)."""
+
+    def _nacl(self, a=2.0):
+        """Rock-salt conventional cell: 8 ions, alternating charges,
+        nearest-neighbor distance a/2."""
+        import numpy as np
+
+        pos, q = [], []
+        for i in range(2):
+            for j in range(2):
+                for k in range(2):
+                    pos.append([i * a / 2, j * a / 2, k * a / 2])
+                    q.append(1.0 if (i + j + k) % 2 == 0 else -1.0)
+        return (np.asarray(pos, np.float32), np.asarray(q, np.float32),
+                np.asarray([a, a, a], np.float32))
+
+    def test_madelung_constant(self):
+        """Total NaCl energy must reproduce the Madelung constant
+        M = 1.747565 (E/ion = -K M q^2 / (2 d))."""
+        import numpy as np
+
+        from njw_tpu.md.ewald import make_ewald_coulomb
+        from njw_tpu.md.forces import COULOMB_K
+
+        pos, q, box = self._nacl(a=2.0)
+        d = 1.0
+        energy, _ = make_ewald_coulomb(box, alpha=3.0, r_cut=0.99,
+                                       kmax=16)
+        e = float(energy(pos, q))
+        madelung = -2.0 * e * d / (COULOMB_K * len(q))
+        np.testing.assert_allclose(madelung, 1.747565, rtol=1e-3)
+
+    def test_alpha_independence(self):
+        """The classic Ewald self-consistency check: the split parameter
+        must not change the total (converged cutoffs)."""
+        import numpy as np
+
+        from njw_tpu.md.ewald import make_ewald_coulomb
+
+        rng = np.random.default_rng(6)
+        pos = rng.random((16, 3)).astype(np.float32) * 4.0
+        q = rng.standard_normal(16).astype(np.float32)
+        q -= q.mean()  # neutral cell
+        box = np.asarray([4.0, 4.0, 4.0], np.float32)
+        e1, _ = make_ewald_coulomb(box, alpha=1.2, r_cut=1.99, kmax=10)
+        e2, _ = make_ewald_coulomb(box, alpha=1.6, r_cut=1.99, kmax=12)
+        a, b = float(e1(pos, q)), float(e2(pos, q))
+        np.testing.assert_allclose(a, b, rtol=2e-3)
+
+    def test_forces_sum_to_zero(self):
+        import numpy as np
+
+        from njw_tpu.md.ewald import make_ewald_coulomb
+
+        rng = np.random.default_rng(7)
+        pos = rng.random((12, 3)).astype(np.float32) * 3.0
+        q = rng.standard_normal(12).astype(np.float32)
+        q -= q.mean()
+        box = np.asarray([3.0, 3.0, 3.0], np.float32)
+        _, forces = make_ewald_coulomb(box, alpha=1.5, r_cut=1.49, kmax=8)
+        f = np.asarray(forces(pos, q))
+        assert np.abs(f.sum(axis=0)).max() < 1e-2 * np.abs(f).max()
