@@ -111,7 +111,8 @@ _CELL_LIST_MIN_N = 2000  # below this, masked all-pairs wins on TPU
 
 
 def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
-                  *, method: str = "auto", box_static=None):
+                  *, method: str = "auto", box_static=None,
+                  pos_static=None):
     """Returns force_fn(state) -> (forces (N,3), energies dict). Forces are
     exact negative gradients of the total potential via jax.grad.
 
@@ -119,7 +120,11 @@ def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
     bucketed neighbors, njw_tpu.md.neighbors — the reference NeighborList
     role, ref: molecular_system.hpp:247-284), or 'auto' (cell list when
     N >= 2000 and the box spans >= 3 cells per dim; needs box_static,
-    the concrete (3,) box lengths, to size the static cell grid).
+    the concrete (3,) box lengths, to size the static cell grid;
+    pos_static, when given, sizes the per-cell capacity from the
+    MEASURED initial occupancy instead of the mean — pass it for
+    clustered/inhomogeneous systems). Cell overflow at runtime poisons
+    the energy with NaN (visible failure, never silently wrong forces).
     """
     has_bonded = topo.bonds is not None or topo.angles is not None \
         or topo.dihedrals is not None
@@ -144,7 +149,8 @@ def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
         )
 
         nc = cell_grid(box_static, cutoff)
-        capacity = pick_capacity(n, box_static, nc)
+        capacity = pick_capacity(n, box_static, nc,
+                                 pos_static=pos_static)
         excl_pairs = excluded_pair_list(topo) if has_bonded else None
 
         def potential(pos, charge, type_id, box):

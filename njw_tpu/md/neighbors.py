@@ -27,9 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from njw_tpu.md.forces import COULOMB_K
 from njw_tpu.md.system import LJParams
-
-COULOMB_K = 332.06
 
 
 def cell_grid(box, cutoff: float) -> tuple[int, int, int]:
@@ -102,7 +101,7 @@ def nonbonded_energy_cell_list(
     """Cell-list LJ + Coulomb total energy (same physics as
     forces.nonbonded_energy without exclusions; pair sums reordered)."""
     n = pos.shape[0]
-    table, coords, _ = build_cell_table(pos, box, nc, capacity)
+    table, coords, occ = build_cell_table(pos, box, nc, capacity)
     cand = neighbor_candidates(table, coords, nc)   # (N, M)
 
     pos_pad = jnp.concatenate(
@@ -127,7 +126,11 @@ def nonbonded_energy_cell_list(
     inv_r = jax.lax.rsqrt(r2)
     e_coul = COULOMB_K * charge[:, None] * charge_pad[cand] * inv_r
     e_pair = jnp.where(mask, e_lj + e_coul, 0.0)
-    return 0.5 * jnp.sum(e_pair)
+    total = 0.5 * jnp.sum(e_pair)
+    # capacity overflow would silently DROP atoms (wrong physics);
+    # poison the energy with NaN instead so the run fails visibly —
+    # re-build the force fn with a larger capacity/headroom if hit
+    return jnp.where(occ <= capacity, total, jnp.nan)
 
 
 def excluded_pairs_energy(pos, charge, type_id, box, lj: LJParams,
@@ -158,12 +161,28 @@ def excluded_pair_list(topo) -> Optional[np.ndarray]:
         pairs.append(np.stack([a[:, 0], a[:, 2]], axis=1))
     if not pairs:
         return None
-    return np.concatenate(pairs, axis=0).astype(np.int32)
+    cat = np.concatenate(pairs, axis=0).astype(np.int32)
+    # dedupe (a 1-3 pair can coincide with a 1-2 bond, e.g. 3-rings):
+    # the subtraction must remove each pair ONCE, like the boolean mask
+    return np.unique(np.sort(cat, axis=1), axis=0)
 
 
-def pick_capacity(n: int, box, nc, headroom: float = 3.0) -> int:
-    """Per-cell capacity: headroom x the mean occupancy, 8-aligned."""
+def pick_capacity(n: int, box, nc, headroom: float = 3.0,
+                  pos_static=None) -> int:
+    """Per-cell capacity, 8-aligned: headroom x the mean occupancy, and
+    at least 1.5x the MEASURED max occupancy when initial positions are
+    given (clustered systems blow far past the mean)."""
     n_cells = int(np.prod(nc))
     mean = n / max(n_cells, 1)
-    cap = int(np.ceil(headroom * max(mean, 1.0)))
+    cap = headroom * max(mean, 1.0)
+    if pos_static is not None:
+        box = np.asarray(box, np.float64)
+        p = np.asarray(pos_static, np.float64)
+        frac = p / box - np.floor(p / box)
+        coords = np.minimum((frac * nc).astype(int),
+                            np.asarray(nc) - 1)
+        cid = (coords[:, 0] * nc[1] + coords[:, 1]) * nc[2] + coords[:, 2]
+        occ = np.bincount(cid, minlength=n_cells).max()
+        cap = max(cap, 1.5 * occ)
+    cap = int(np.ceil(cap))
     return max(8, -(-cap // 8) * 8)

@@ -51,7 +51,8 @@ class MDSimulation:
 
         force_fn = make_force_fn(topology, lj, cutoff, state.n,
                                  method=force_method,
-                                 box_static=np.asarray(state.box))
+                                 box_static=np.asarray(state.box),
+                                 pos_static=np.asarray(state.pos))
         self._force_fn = force_fn
         dt_f = jnp.float32(dt)
         T0_f = jnp.float32(T0)

@@ -80,23 +80,28 @@ def _baro_stage_kernel(p_c, p_t, p_b, z_c, z_t, z_b, b_c, o,
 def baro_pallas_supported(grid: GridSpec, params: PhysicsParams) -> bool:
     import numbers
 
+    from njw_tpu.platform.device import detect
+
     return (
         grid.bc == "periodic"
         and grid.nx % 128 == 0
         and grid.ny % 8 == 0
         and isinstance(params.beta, numbers.Number)
         and isinstance(params.viscosity, numbers.Number)
+        # a strip must genuinely fit (otherwise fall back to XLA
+        # instead of compile-failing under backend='auto')
+        and _pick_by(grid.ny, grid.nx, detect().vmem_bytes) is not None
     )
 
 
-def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
+def _pick_by(ny: int, nx: int, vmem_bytes: int):
     for by in (256, 128, 64, 32, 16, 8):
         if ny % by:
             continue
         # ~24 live (by+2, nx) f32 buffers at the Jacobian's peak
         if 24 * (by + 2) * nx * 4 <= int(vmem_bytes * 1.4):
             return by
-    return 8
+    return None
 
 
 @functools.partial(
@@ -115,6 +120,9 @@ def baro_stage_pallas(
         from njw_tpu.platform.device import detect
 
         by = _pick_by(ny, nx, detect().vmem_bytes)
+        if by is None:
+            raise ValueError("baro pallas: no strip height fits VMEM "
+                             f"(nx={nx}); use the XLA backend")
     if ny % by:
         raise ValueError(f"ny={ny} not divisible by {by}")
     nby = ny // 8
@@ -139,7 +147,9 @@ def baro_stage_pallas(
         out_specs=center,
         out_shape=shape,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 1024 * 1024),
+            vmem_limit_bytes=min(max(24 << 20,
+                                     int(24 * (by + 2) * nx * 4 * 1.4)),
+                                 100 << 20)),
         interpret=interpret,
     )(psi, psi, psi, zeta, zeta, zeta, base)
 

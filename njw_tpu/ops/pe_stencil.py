@@ -199,13 +199,22 @@ def _vmem_estimate(L: int, by: int, bx: int) -> int:
     return 2 * io + persist
 
 
-def _pick_blocks(L: int, ny: int, nx: int,
-                 vmem_budget: int) -> Optional[Tuple[int, int]]:
+def _vmem_budget(caps) -> int:
+    """Block-picking budget: physical VMEM with headroom, and never
+    above what the 100 MB scoped cap minus the 8 MB margin can honor
+    (a pick the cap can't fit would compile-fail at runtime)."""
+    return min(int(caps.vmem_physical_bytes * 0.8), 92 << 20)
+
+
+def _pick_blocks(L: int, ny: int, nx: int, vmem_budget: int,
+                 fixed_bx: Optional[int] = None) -> Optional[Tuple[int, int]]:
     """Largest (by, bx) block fitting the budget; prefers full rows
-    (x whole => no x-slab HBM overhead), then splits x."""
+    (x whole => no x-slab HBM overhead), then splits x. fixed_bx pins the
+    width (the local shard paths require bx == local width)."""
     bys = [b for b in (32, 16, 8) if ny % b == 0]
-    bxs = [b for b in (nx, 2048, 1024, 512, 256, 128)
-           if b <= nx and nx % b == 0 and b % 128 == 0]
+    bxs = [fixed_bx] if fixed_bx is not None else [
+        b for b in (nx, 2048, 1024, 512, 256, 128)
+        if b <= nx and nx % b == 0 and b % 128 == 0]
     for by in bys:
         for bx in bxs:
             if _vmem_estimate(L, by, bx) <= vmem_budget:
@@ -230,7 +239,7 @@ def pe_pallas_supported(grid: GridSpec, params: PhysicsParams) -> bool:
         and isinstance(params.viscosity, numbers.Number)
         and float(params.viscosity) == 0.0
         and _pick_blocks(grid.levels, grid.ny, grid.nx,
-                         int(caps.vmem_physical_bytes * 0.8)) is not None
+                         _vmem_budget(caps)) is not None
     )
 
 
@@ -282,8 +291,7 @@ def pe_stage_pallas(
     if by is None or bx is None:
         from njw_tpu.platform.device import detect
 
-        picked = _pick_blocks(L, ny, nx,
-                              int(detect().vmem_physical_bytes * 0.8))
+        picked = _pick_blocks(L, ny, nx, _vmem_budget(detect()))
         if picked is None:
             raise ValueError("PE pallas kernel: VMEM budget exceeded")
         by = by if by is not None else picked[0]
@@ -342,11 +350,11 @@ def pe_stage_pallas_local(
     if by is None:
         from njw_tpu.platform.device import detect
 
-        picked = _pick_blocks(L, ly, nx,
-                              int(detect().vmem_physical_bytes * 0.8))
-        if picked is None or picked[1] != nx:
-            raise ValueError("PE pallas local: VMEM budget exceeded "
-                             "(x must stay whole per shard)")
+        picked = _pick_blocks(L, ly, nx, _vmem_budget(detect()),
+                              fixed_bx=nx)
+        if picked is None:
+            raise ValueError("PE pallas local: no strip height fits VMEM "
+                             f"at full shard width nx={nx}")
         by = picked[0]
     if ly % by or nx % 128:
         raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
@@ -459,10 +467,11 @@ def pe_stage_pallas_local2d(
     if by is None:
         from njw_tpu.platform.device import detect
 
-        picked = _pick_blocks(L, ly, lx,
-                              int(detect().vmem_physical_bytes * 0.8))
+        picked = _pick_blocks(L, ly, lx, _vmem_budget(detect()),
+                              fixed_bx=lx)
         if picked is None:
-            raise ValueError("PE pallas local2d: VMEM budget exceeded")
+            raise ValueError("PE pallas local2d: no strip height fits "
+                             f"VMEM at shard width lx={lx}")
         by = picked[0]
     if ly % by or lx % 128:
         raise ValueError(f"ly={ly} % by={by} != 0 or lx % 128 != 0")

@@ -165,6 +165,12 @@ def pe_tendencies_from_shifts(
 def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams) -> PEState:
     from njw_tpu.weather.dynamics import pad_and_shift
 
+    if grid.bc == "reflective":
+        raise NotImplementedError(
+            "reflective BC is implemented for the shallow-water core only "
+            "(the PE velocity ghost sign flips are not wired); use "
+            "'outflow' or 'periodic'")
+
     pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
     padded = PEState(u=pad(s.u), v=pad(s.v), T=pad(s.T), q=pad(s.q),
                      ps=pad(s.ps))

@@ -331,3 +331,57 @@ class TestEwald:
         _, forces = make_ewald_coulomb(box, alpha=1.5, r_cut=1.49, kmax=8)
         f = np.asarray(forces(pos, q))
         assert np.abs(f.sum(axis=0)).max() < 1e-2 * np.abs(f).max()
+
+
+class TestCellListSafety:
+    """Review findings r2: overflow must fail VISIBLY, clustered systems
+    must size capacity from measured occupancy, excluded pairs dedupe."""
+
+    def test_overflow_poisons_with_nan(self):
+        import numpy as np
+
+        from njw_tpu.md.neighbors import nonbonded_energy_cell_list
+        from njw_tpu.md.system import LJParams
+
+        rng = np.random.default_rng(0)
+        # 400 atoms crammed into one corner of a 10^3 box
+        pos = (rng.random((400, 3)) * 0.5).astype(np.float32)
+        box = np.asarray([10.0, 10.0, 10.0], np.float32)
+        lj = LJParams(epsilon=np.ones(1, np.float32),
+                      sigma=np.ones(1, np.float32))
+        e = nonbonded_energy_cell_list(
+            pos, np.zeros(400, np.float32),
+            np.zeros(400, np.int32), box, lj, 2.5,
+            nc=(4, 4, 4), capacity=24)
+        assert np.isnan(float(e))  # visible failure, not wrong physics
+
+    def test_clustered_capacity_from_positions(self):
+        import numpy as np
+
+        from njw_tpu.md.neighbors import cell_grid, pick_capacity
+
+        rng = np.random.default_rng(1)
+        pos = (rng.random((400, 3)) * 0.5).astype(np.float32)
+        box = np.asarray([10.0, 10.0, 10.0])
+        nc = cell_grid(box, 2.5)
+        cap_blind = pick_capacity(400, box, nc)
+        cap_measured = pick_capacity(400, box, nc, pos_static=pos)
+        assert cap_measured >= 400  # all atoms share ~one cell
+        assert cap_measured > cap_blind
+
+    def test_excluded_pairs_deduped(self):
+        import numpy as np
+
+        from njw_tpu.md.neighbors import excluded_pair_list
+        from njw_tpu.md.system import Topology
+
+        # 3-ring: bond 2-0 duplicates the angle 0-1-2's 1-3 pair (0,2)
+        topo = Topology(
+            bonds=np.asarray([[0, 1], [1, 2], [2, 0]], np.int32),
+            bond_k=np.ones(3, np.float32),
+            bond_r0=np.ones(3, np.float32),
+            angles=np.asarray([[0, 1, 2]], np.int32),
+            angle_k=np.ones(1, np.float32),
+            angle_theta0=np.ones(1, np.float32))
+        pairs = excluded_pair_list(topo)
+        assert len(pairs) == 3  # not 4: (0,2) listed once
