@@ -61,11 +61,23 @@ def _acc_rows_mxu(pos_rows, row0, pos, mass, G, soft2):
     return G * (wp - pos_rows * rs)
 
 
-@partial(jax.jit, static_argnames=("chunk", "method"))
+@partial(jax.jit, static_argnames=("chunk", "method", "pm_box",
+                                   "pm_mesh"))
 def accelerations(s: NBodySystem, chunk: int = _DEFAULT_CHUNK,
-                  method: str = "auto") -> jnp.ndarray:
-    """(N,3) accelerations, row-blocked all-pairs."""
+                  method: str = "auto", pm_box: float = 0.0,
+                  pm_mesh: int = 64) -> jnp.ndarray:
+    """(N,3) accelerations: row-blocked all-pairs ('direct'/'mxu'), or
+    the O(N + M^3 log M) particle-mesh solver ('pm', periodic box
+    pm_box^3, njw_tpu.nbody.pm) for N >> 1e5."""
     n = s.pos.shape[0]
+    if method == "pm":
+        from njw_tpu.nbody.pm import pm_accelerations
+
+        if pm_box <= 0:
+            raise ValueError("method='pm' requires pm_box (periodic box "
+                             "side length)")
+        return pm_accelerations(s.pos, s.mass, mesh=pm_mesh,
+                                box=float(pm_box), G=float(s.G))
     if method == "auto":
         method = "direct" if n < _MXU_THRESHOLD else "mxu"
     row_fn = _acc_rows_direct if method == "direct" else _acc_rows_mxu

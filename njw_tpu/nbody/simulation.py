@@ -23,7 +23,8 @@ class NBodySimulation:
 
     def __init__(self, system: NBodySystem, *, integrator: str = "leapfrog",
                  dt: float = 0.01, acc_chunk: int = 1024,
-                 force_method: str = "auto"):
+                 force_method: str = "auto", pm_box: float = 0.0,
+                 pm_mesh: int = 64):
         self.system = system
         self.dt = float(dt)
         self.integrator_name = integrator
@@ -32,7 +33,8 @@ class NBodySimulation:
         self.metrics = {"total_time_ms": 0.0, "num_steps": 0}
 
         acc_fn = lambda s: accelerations(s, chunk=acc_chunk,
-                                         method=force_method)
+                                         method=force_method,
+                                         pm_box=pm_box, pm_mesh=pm_mesh)
         self.stepper = make_nbody_stepper(integrator, acc_fn)
         self._carry = self.stepper.init(system)
         stepper = self.stepper

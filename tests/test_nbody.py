@@ -217,3 +217,24 @@ class TestParticleMesh:
         mass = np.ones(n, np.float32)
         acc = np.asarray(pm_accelerations(pos, mass, mesh=64))
         assert acc.shape == (n, 3) and np.isfinite(acc).all()
+
+
+class TestPMSimulation:
+    def test_pm_driver_runs_large_n(self):
+        """NBodySimulation(force_method='pm') integrates 100k particles."""
+        import jax.numpy as jnp
+
+        from njw_tpu.nbody.simulation import NBodySimulation
+        from njw_tpu.nbody.system import NBodySystem
+
+        rng = np.random.default_rng(5)
+        n = 100_000
+        sys_ = NBodySystem(
+            pos=jnp.asarray(rng.random((n, 3)), jnp.float32),
+            vel=jnp.zeros((n, 3), jnp.float32),
+            mass=jnp.full((n,), 1.0 / n, jnp.float32),
+            G=1.0, softening=1e-3)
+        sim = NBodySimulation(sys_, integrator="leapfrog", dt=1e-3,
+                              force_method="pm", pm_box=1.0, pm_mesh=32)
+        sim.step(3)
+        assert bool(np.isfinite(np.asarray(sim.system.pos)).all())
