@@ -77,7 +77,7 @@ def accelerations(s: NBodySystem, chunk: int = _DEFAULT_CHUNK,
             raise ValueError("method='pm' requires pm_box (periodic box "
                              "side length)")
         return pm_accelerations(s.pos, s.mass, mesh=pm_mesh,
-                                box=float(pm_box), G=float(s.G))
+                                box=float(pm_box), G=s.G)
     if method == "auto":
         method = "direct" if n < _MXU_THRESHOLD else "mxu"
     row_fn = _acc_rows_direct if method == "direct" else _acc_rows_mxu

@@ -71,7 +71,7 @@ def cic_gather(field, pos, mesh: int, box: float):
     return out  # (..., N)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "box", "G"))
+@functools.partial(jax.jit, static_argnames=("mesh", "box"))
 def pm_accelerations(pos, mass, *, mesh: int = 64, box: float = 1.0,
                      G: float = 1.0):
     """PM gravitational accelerations (N, 3) for periodic positions."""
