@@ -184,8 +184,10 @@ _R_DRY = np.float32(287.04)
 _KAPPA = np.float32(287.04 / 1004.64)
 
 
-def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0):
-    """Returns (du, dv, dT, dq, dps); shapes (L,ny,nx) x4 + (ny,nx)."""
+def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0,
+                     phi_s=None):
+    """Returns (du, dv, dT, dq, dps); shapes (L,ny,nx) x4 + (ny,nx).
+    phi_s: optional (ny, nx) surface geopotential (terrain)."""
     u, v, T, q, ps = (np.asarray(a, dtype=F) for a in (u, v, T, q, ps))
     L = u.shape[0]
     dsig = F(1.0 / L)
@@ -215,6 +217,8 @@ def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0):
     # hydrostatic geopotential
     ln_ratio = np.log(sig[1:, 0, 0] / sig[:-1, 0, 0]).astype(F)
     phi_bot = _R_DRY * T[-1] * F(-np.log(sig[-1, 0, 0]))
+    if phi_s is not None:
+        phi_bot = phi_bot + np.asarray(phi_s, F)
     thick = _R_DRY * F(0.5) * (T[:-1] + T[1:]) * ln_ratio[:, None, None]
     below = np.cumsum(thick[::-1], axis=0)[::-1]
     phi = np.concatenate([phi_bot[None] + below, phi_bot[None]], axis=0)

@@ -58,15 +58,19 @@ def sigma_levels(L: int):
     return full, half
 
 
-def hydrostatic_geopotential(T: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Phi at full levels from the hydrostatic integral (flat surface).
+def hydrostatic_geopotential(T: jnp.ndarray, L: int,
+                             phi_s=None) -> jnp.ndarray:
+    """Phi at full levels from the hydrostatic integral.
 
-    Integrates upward from the bottom level L-1.
+    Integrates upward from the bottom level L-1; phi_s is the surface
+    geopotential (orography x gravity), 0 for a flat lower boundary.
     """
     sig, _ = sigma_levels(L)
-    # bottom: Phi_{L-1} = R T_{L-1} ln(1 / sig_{L-1})
+    # bottom: Phi_{L-1} = phi_s + R T_{L-1} ln(1 / sig_{L-1})
     ln_ratio = jnp.log(sig[1:] / sig[:-1])  # (L-1,) ln(sig_{k+1}/sig_k)
     phi_bot = R_DRY * T[-1] * (-jnp.log(sig[-1]))
+    if phi_s is not None:
+        phi_bot = phi_bot + phi_s
     # layer thicknesses, k from bottom-1 up: R (T_k + T_{k+1})/2 ln(...)
     thick = R_DRY * 0.5 * (T[:-1] + T[1:]) * ln_ratio[:, None, None]
     # Phi_k = Phi_{k+1} + thick_k ; cumulative from the bottom
@@ -77,10 +81,12 @@ def hydrostatic_geopotential(T: jnp.ndarray, L: int) -> jnp.ndarray:
 
 def pe_tendencies_from_shifts(
     s: PEState, shift: Callable, grid: GridSpec, params: PhysicsParams,
-    interior: Optional[Callable] = None,
+    interior: Optional[Callable] = None, phi_s=None,
 ) -> PEState:
     """PE tendencies given a neighbor-shift accessor (shared by the global
-    and sharded paths; shift must broadcast over the leading level axis)."""
+    and sharded paths; shift must broadcast over the leading level axis).
+    phi_s: optional surface geopotential PADDED like the state fields
+    (terrain lower boundary; enters the hydrostatic integral only)."""
     crop = interior if interior is not None else (lambda f: f)
     L = s.u.shape[0]
     dsig = 1.0 / L
@@ -124,7 +130,7 @@ def pe_tendencies_from_shifts(
         ) * (0.5 / dsig)
 
     # --- geopotential & pressure-gradient force -----------------------
-    phi = hydrostatic_geopotential(T, L)
+    phi = hydrostatic_geopotential(T, L, phi_s=phi_s)
     phi_x, phi_y = ddx(phi), ddy(phi)
     lnps_x, lnps_y = ddx(lnps), ddy(lnps)
 
@@ -162,7 +168,10 @@ def pe_tendencies_from_shifts(
     return PEState(u=du, v=dv, T=dT, q=dq, ps=dps)
 
 
-def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams) -> PEState:
+def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams,
+                  phi_s=None) -> PEState:
+    """Whole-domain PE tendencies; phi_s = surface geopotential field
+    (ny, nx) for a terrain lower boundary (None = flat)."""
     from njw_tpu.weather.dynamics import pad_and_shift
 
     if grid.bc == "reflective":
@@ -174,14 +183,16 @@ def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams) -> PEState:
     pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
     padded = PEState(u=pad(s.u), v=pad(s.v), T=pad(s.T), q=pad(s.q),
                      ps=pad(s.ps))
+    phi_sp = pad(jnp.asarray(phi_s, jnp.float32)) if phi_s is not None \
+        else None
     return pe_tendencies_from_shifts(padded, shift, grid, params,
-                                     interior=crop)
+                                     interior=crop, phi_s=phi_sp)
 
 
 def pe_initial_state(
     grid: GridSpec, *, T0: float = 288.15, ps0: float = 1013.25,
     u_jet: float = 10.0, lapse: float = 50.0, deltaT_y: float = 20.0,
-    perturb: float = 0.0, seed: int = 0,
+    perturb: float = 0.0, seed: int = 0, phi_s=None,
 ) -> PEState:
     """Baroclinic-jet style IC: zonal jet at mid-latitude with a
     thermally consistent meridional T gradient, optional random ps
@@ -205,6 +216,12 @@ def pe_initial_state(
     q = (0.01 * (1.0 - yx)[None] * sig[:, None, None]).astype(jnp.float32)
 
     ps = jnp.full((ny, nx), ps0, jnp.float32)
+    if phi_s is not None:
+        # hydrostatic surface-pressure reduction over terrain: with the
+        # column-mean T ~ T0 this balances the discrete PGF exactly for
+        # a resting isothermal atmosphere (see TestPETerrain)
+        ps = ps * jnp.exp(-jnp.asarray(phi_s, jnp.float32)
+                          / (R_DRY * T0))
     if perturb:
         key = jax.random.key(seed)
         ps = ps + perturb * jax.random.normal(key, (ny, nx), jnp.float32)
@@ -212,11 +229,19 @@ def pe_initial_state(
 
 
 def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
-                       **ic_params):
+                       orography=None, **ic_params):
     """Build a Simulation whose state is PEState. initial_condition:
-    'baroclinic' (default, parameterized) or 'resting' (steady-state)."""
+    'baroclinic' (default, parameterized) or 'resting' (steady-state).
+    orography: optional (ny, nx) surface GEOPOTENTIAL (m^2/s^2 = height x
+    gravity); terrain runs on the XLA path (the fused kernel falls back).
+    """
     grid = config.grid_spec()
     params = config.physics()
+    phi_s = None if orography is None \
+        else jnp.asarray(orography, jnp.float32)
+    if phi_s is not None:
+        ic_params = dict(ic_params)
+        ic_params.setdefault("phi_s", phi_s)
     if initial_condition in ("baroclinic", "default", "uniform", "resting"):
         if initial_condition == "resting":
             ic_params = dict(ic_params)
@@ -229,12 +254,13 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
             f"unknown PE initial condition {initial_condition!r} "
             "(use 'baroclinic' or 'resting')"
         )
-    tendency = lambda s: pe_tendencies(s, grid, params)
+    tendency = lambda s: pe_tendencies(s, grid, params, phi_s=phi_s)
 
     # backend selection: fused Pallas PE stage kernel when eligible
-    # (mirrors the SWE selection, njw_tpu/weather/model.py)
+    # (mirrors the SWE selection; terrain stays on the XLA path)
     stepper_factory = None
-    if config.backend in ("auto", "pallas")             and config.integration_method == "rk4":
+    if config.backend in ("auto", "pallas") and phi_s is None \
+            and config.integration_method == "rk4":
         from njw_tpu.ops.pe_stencil import (
             make_pe_pallas_rk4_stepper, pe_pallas_supported,
         )

@@ -204,3 +204,69 @@ class TestPEPallasKernel:
             GridSpec(nx=100, ny=512, levels=20), PARAMS)  # nx%128
         assert not pe_pallas_supported(
             GridSpec(nx=512, ny=512, levels=20, bc="clamped"), PARAMS)
+
+
+class TestPETerrain:
+    """Non-flat lower boundary (orography) for the PE core — ROADMAP r1;
+    the reference has no terrain anywhere."""
+
+    def _mountain(self, grid, height_gp=2000.0):
+        y, x = np.mgrid[0:grid.ny, 0:grid.nx].astype(np.float32)
+        cy, cx = (grid.ny - 1) / 2, (grid.nx - 1) / 2
+        return height_gp * np.exp(-(((y - cy) / 6) ** 2
+                                    + ((x - cx) / 6) ** 2))
+
+    def test_resting_isothermal_atmosphere_stays_at_rest(self):
+        """The classic pressure-gradient-error test: with uniform T and
+        hydrostatically-adjusted ps, the discrete PGF over terrain must
+        cancel EXACTLY (phi_x = -R T lnps_x term by term)."""
+        from njw_tpu.weather.primitive import (
+            pe_initial_state, pe_tendencies,
+        )
+
+        grid = GridSpec(nx=48, ny=32, levels=5, dx=1e5, dy=1e5)
+        phi_s = jnp.asarray(self._mountain(grid))
+        s = pe_initial_state(grid, u_jet=0.0, lapse=0.0, deltaT_y=0.0,
+                             phi_s=phi_s)
+        t = pe_tendencies(s, grid, PARAMS, phi_s=phi_s)
+        assert float(jnp.max(jnp.abs(t.u))) < 1e-3
+        assert float(jnp.max(jnp.abs(t.v))) < 1e-3
+
+    def test_matches_oracle_with_terrain(self):
+        from njw_tpu.weather.oracle import pe_tendencies_np
+        from njw_tpu.weather.primitive import (
+            pe_initial_state, pe_tendencies,
+        )
+
+        grid = GridSpec(nx=48, ny=32, levels=4, dx=1e5, dy=1e5)
+        phi_s = self._mountain(grid, 1500.0)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5,
+                             phi_s=jnp.asarray(phi_s))
+        t = pe_tendencies(s, grid, PARAMS, phi_s=jnp.asarray(phi_s))
+        ref = pe_tendencies_np(
+            np.asarray(s.u), np.asarray(s.v), np.asarray(s.T),
+            np.asarray(s.q), np.asarray(s.ps), dx=1e5, dy=1e5,
+            bc="periodic", coriolis_f=1e-4, phi_s=phi_s)
+        for got, want, name in zip((t.u, t.v, t.T, t.ps),
+                                   (ref[0], ref[1], ref[2], ref[4]),
+                                   ("u", "v", "T", "ps")):
+            np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                       atol=1e-4, err_msg=name)
+
+    def test_sim_factory_with_orography(self):
+        from njw_tpu.weather import SimConfig, Simulation
+
+        grid_n = 48
+        cfg = SimConfig(model="primitive", grid_width=grid_n,
+                        grid_height=32, num_levels=4, dx=1e5, dy=1e5,
+                        dt=20.0, coriolis_f=1e-4, backend="auto")
+        g = GridSpec(nx=grid_n, ny=32, levels=4, dx=1e5, dy=1e5)
+        phi_s = self._mountain(g, 1000.0)
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=8.0,
+                                     orography=phi_s)
+        # terrain forces the XLA path (kernel doesn't carry phi_s)
+        assert sim.stepper.name != "pe_rk4_pallas"
+        sim.step(10)
+        assert bool(jnp.isfinite(sim.state.ps).all())
+        # flow over the mountain generates vertical structure
+        assert float(jnp.max(jnp.abs(sim.state.v))) > 0.0
