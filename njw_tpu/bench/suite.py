@@ -66,13 +66,24 @@ class WorkloadBenchmark:
     def execute(self, state) -> tuple[float, str, dict]:
         raise NotImplementedError
 
+    def sync(self, state) -> None:
+        """Hard device sync after execute. block_until_ready can report
+        early on remote-tunnel TPU backends (CLAUDE.md), so the default
+        forces a small D2H copy of every array leaf; benchmarks whose
+        state is not a pytree of arrays override this."""
+        for a in _leaves(state):
+            if hasattr(a, "shape") and hasattr(a, "dtype") and a.size:
+                np.asarray(a)[(0,) * a.ndim]
+
     def run(self) -> BenchmarkResult:
         caps = detect()
         state = self.setup()
         # warm-up pass compiles everything
         self.execute(state)
+        self.sync(state)
         t0 = time.perf_counter()
         work, unit, extra = self.execute(state)
+        self.sync(state)
         elapsed = time.perf_counter() - t0
         mem = sum(
             int(np.prod(a.shape)) * a.dtype.itemsize
@@ -121,12 +132,15 @@ class WeatherBenchmark(WorkloadBenchmark):
 
     def execute(self, sim):
         sim.step(self.num_steps)
-        steps_per_s = None  # filled by run timing
         gps = self.grid_size ** 2
         return self.num_steps, "steps/s", {
             "grid_points_per_second_factor": gps,
             "backend": sim.stepper.name,
         }
+
+    def sync(self, sim):
+        np.asarray(sim.state.h[:1, :1] if hasattr(sim.state, "h")
+                   else sim.state.ps[:1, :1])
 
 
 class NBodyBenchmark(WorkloadBenchmark):
@@ -150,6 +164,9 @@ class NBodyBenchmark(WorkloadBenchmark):
         sim.step(self.num_steps)
         return self.n * self.n * self.num_steps, "interactions/s", {}
 
+    def sync(self, sim):
+        np.asarray(sim.system.pos[:1])
+
 
 class MDBenchmark(WorkloadBenchmark):
     """ref: MolecularDynamicsBenchmark, benchmark_suite.py:439."""
@@ -170,6 +187,9 @@ class MDBenchmark(WorkloadBenchmark):
     def execute(self, sim):
         sim.step(self.num_steps)
         return self.n * self.num_steps, "atom-steps/s", {}
+
+    def sync(self, sim):
+        np.asarray(sim.state.pos[:1])
 
 
 class SignalBenchmark(WorkloadBenchmark):
@@ -201,7 +221,8 @@ class SignalBenchmark(WorkloadBenchmark):
 
         x, filt = state
         y = filt.apply(x)
-        jax.block_until_ready(y)
+        np.asarray(y[..., :1])  # hard D2H sync (block_until_ready can
+        # report early on remote-tunnel backends)
         return self.batch * self.n, "samples/s", {"taps": self.taps}
 
 
@@ -235,7 +256,7 @@ class MedicalBenchmark(WorkloadBenchmark):
 
         sino, angles = state
         rec = filtered_backprojection(sino, angles)
-        jax.block_until_ready(rec)
+        np.asarray(rec[:1, :1])  # hard D2H sync
         return self.size * self.size * self.num_angles, "px-angles/s", {}
 
 
