@@ -567,9 +567,13 @@ def sharded_swe_step_pallas(
         raise ValueError("per-shard rows must be a multiple of 8")
 
     def pad8(f):
-        top = _ring_shift(f[-8:, :], "y", +1)
-        bot = _ring_shift(f[:8, :], "y", -1)
-        return jnp.concatenate([top, f, bot], axis=0)
+        """Exchange only the 4 halo rows RK4 needs (half the ICI
+        payload); embed in 8-row slabs with zero filler the kernel never
+        reads (it consumes top rows 4-7 and bottom rows 0-3)."""
+        top4 = _ring_shift(f[-4:, :], "y", +1)
+        bot4 = _ring_shift(f[:4, :], "y", -1)
+        filler = jnp.zeros((4, f.shape[1]), f.dtype)
+        return jnp.concatenate([filler, top4, f, bot4, filler], axis=0)
 
     def one_step(s: WeatherState) -> WeatherState:
         u, v, h = swe_rk4_step_pallas_local(
@@ -624,9 +628,11 @@ def sharded_swe_step_pallas_2d(
         return jnp.concatenate([left, f, right], axis=1)
 
     def pad_y(f):
-        top = _ring_shift(f[-8:, :], "y", +1)
-        bot = _ring_shift(f[:8, :], "y", -1)
-        return jnp.concatenate([top, f, bot], axis=0)
+        # 4 true halo rows + 4 filler (see the 1-D path's pad8)
+        top4 = _ring_shift(f[-4:, :], "y", +1)
+        bot4 = _ring_shift(f[:4, :], "y", -1)
+        filler = jnp.zeros((4, f.shape[1]), f.dtype)
+        return jnp.concatenate([filler, top4, f, bot4, filler], axis=0)
 
     def one_step(s: WeatherState) -> WeatherState:
         up, vp, hp = (pad_y(pad_x(f)) for f in (s.u, s.v, s.h))

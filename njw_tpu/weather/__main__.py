@@ -31,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["euler", "rk2", "rk4", "adams_bashforth", "semi_implicit"],
     )
     p.add_argument("--initial", default="vortex")
-    p.add_argument("--bc", default="periodic", choices=["periodic", "clamped"])
+    p.add_argument("--bc", default="periodic",
+                   choices=["periodic", "clamped", "outflow", "reflective"])
+    p.add_argument("--mountain-height", type=float, default=0.0,
+                   help="gaussian orography peak (geopotential m^2/s^2); "
+                        "primitive model only")
     p.add_argument("--coriolis", type=float, default=0.0)
     p.add_argument("--beta", type=float, default=0.0)
     p.add_argument("--viscosity", type=float, default=0.0)
@@ -78,7 +82,20 @@ def main(argv=None) -> int:
         backend=args.backend, max_steps=args.steps,
         output_interval=args.output_interval,
     )
-    sim = Simulation.from_config(cfg, args.initial)
+    sim_kw = {}
+    if args.mountain_height > 0.0:
+        if args.model != "primitive":
+            print("error: --mountain-height requires --model primitive",
+                  file=sys.stderr)
+            return 2
+        import numpy as np
+
+        y, x = np.mgrid[0:args.height, 0:args.width].astype(np.float32)
+        cy, cx = (args.height - 1) / 2, (args.width - 1) / 2
+        sy, sx = max(args.height / 8, 1), max(args.width / 8, 1)
+        sim_kw["orography"] = args.mountain_height * np.exp(
+            -(((y - cy) / sy) ** 2 + ((x - cx) / sx) ** 2))
+    sim = Simulation.from_config(cfg, args.initial, **sim_kw)
     callback = None
     if args.output_format:
         from njw_tpu.weather.output import OutputConfig, attach_output
