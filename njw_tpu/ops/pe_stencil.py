@@ -53,19 +53,33 @@ LANE = 128  # x halo slab width (lane tile)
 
 
 def _pe_stage_kernel(
-    # cur state: per field (center, y-top, y-bottom, x-left, x-right)
-    u_c, u_t, u_b, u_l, u_r,
-    v_c, v_t, v_b, v_l, v_r,
-    T_c, T_t, T_b, T_l, T_r,
-    q_c, q_t, q_b, q_l, q_r,
-    ps_c, ps_t, ps_b, ps_l, ps_r,
-    # base state (center only — combined on the valid interior)
-    bu, bv, bT, bq, bps,
-    # outputs
-    ou, ov, oT, oq, ops,
-    *, L: int, by: int, bx: int, dx: float, dy: float, f: float,
-    c_dt: float,
+    *refs, L: int, by: int, bx: int, dx: float, dy: float, f: float,
+    c_dt: float, base_coeffs=(1.0,),
 ):
+    """refs: 25 cur refs (5 fields x center/y-top/y-bottom/x-left/
+    x-right), then len(base_coeffs) groups of 5 center-only base refs,
+    then 5 outputs. out = sum_k coeff_k * base_k + c_dt * T(cur) — the
+    multi-base form lets the RK4 combine ((-s + s1 + 2 s2 + s3)/3 +
+    dt/6 T(s3)) fuse into the final stage instead of a separate XLA pass
+    (one full state read+write per step saved)."""
+    nb = len(base_coeffs)
+    (u_c, u_t, u_b, u_l, u_r,
+     v_c, v_t, v_b, v_l, v_r,
+     T_c, T_t, T_b, T_l, T_r,
+     q_c, q_t, q_b, q_l, q_r,
+     ps_c, ps_t, ps_b, ps_l, ps_r) = refs[:25]
+    base_refs = refs[25:25 + 5 * nb]
+    ou, ov, oT, oq, ops = refs[25 + 5 * nb:]
+
+    def base_val(field: int, kk=None):
+        acc = None
+        for g, coeff in enumerate(base_coeffs):
+            ref = base_refs[5 * g + field]
+            val = ref[kk] if kk is not None else ref[:]
+            term = val if coeff == 1.0 else coeff * val
+            acc = term if acc is None else acc + term
+        return acc
+
     cx = 0.5 / dx
     cy = 0.5 / dy
     dsig = 1.0 / L
@@ -175,25 +189,25 @@ def _pe_stage_kernel(
               + KAPPA * Tk * omega_over_p)
         dq = -uk * q_x - vk * q_y - vadv_q
 
-        ou[kk, :, :] = bu[kk] + c_dt * crop(du)
-        ov[kk, :, :] = bv[kk] + c_dt * crop(dv)
-        oT[kk, :, :] = bT[kk] + c_dt * crop(dT)
-        oq[kk, :, :] = bq[kk] + c_dt * crop(dq)
+        ou[kk, :, :] = base_val(0, kk) + c_dt * crop(du)
+        ov[kk, :, :] = base_val(1, kk) + c_dt * crop(dv)
+        oT[kk, :, :] = base_val(2, kk) + c_dt * crop(dT)
+        oq[kk, :, :] = base_val(3, kk) + c_dt * crop(dq)
 
         if kk > 0:
             thick = R_DRY * 0.5 * np.log(sig[kk] / sig[kk - 1])
             phi = phi + thick * (T[kk - 1] + T[kk])
             sd_dn = sd_up
 
-    ops[:, :] = bps[:] + c_dt * crop(dps)
+    ops[:, :] = base_val(4) + c_dt * crop(dps)
 
 
-def _vmem_estimate(L: int, by: int, bx: int) -> int:
+def _vmem_estimate(L: int, by: int, bx: int, n_base: int = 1) -> int:
     """Conservative bytes for one block's residency: double-buffered I/O
     blocks + the cum list + ~28 live (by+2, bx+256) temporaries."""
     cur3 = L * (by * bx + 2 * 8 * bx + 2 * by * LANE)
     cur2 = by * bx + 2 * 8 * bx + 2 * by * LANE
-    base_out = 2 * (4 * L * by * bx + by * bx)
+    base_out = (n_base + 1) * (4 * L * by * bx + by * bx)
     io = (4 * cur3 + cur2 + base_out) * 4
     persist = (L + 28) * (by + 2) * (bx + 2 * LANE) * 4
     return 2 * io + persist
@@ -207,7 +221,8 @@ def _vmem_budget(caps) -> int:
 
 
 def _pick_blocks(L: int, ny: int, nx: int, vmem_budget: int,
-                 fixed_bx: Optional[int] = None) -> Optional[Tuple[int, int]]:
+                 fixed_bx: Optional[int] = None,
+                 n_base: int = 1) -> Optional[Tuple[int, int]]:
     """Largest (by, bx) block fitting the budget; prefers full rows
     (x whole => no x-slab HBM overhead), then splits x. fixed_bx pins the
     width (the local shard paths require bx == local width)."""
@@ -217,7 +232,7 @@ def _pick_blocks(L: int, ny: int, nx: int, vmem_budget: int,
         if b <= nx and nx % b == 0 and b % 128 == 0]
     for by in bys:
         for bx in bxs:
-            if _vmem_estimate(L, by, bx) <= vmem_budget:
+            if _vmem_estimate(L, by, bx, n_base) <= vmem_budget:
                 return by, bx
     return None
 
@@ -279,19 +294,30 @@ def _block_specs(L: int, ny: int, nx: int, by: int, bx: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "c_dt", "coriolis_f", "by", "bx", "interpret"),
+    static_argnames=("grid", "c_dt", "coriolis_f", "by", "bx",
+                     "base_coeffs", "interpret"),
 )
 def pe_stage_pallas(
-    cur: PEState, base: PEState, *, grid: GridSpec, c_dt: float,
+    cur: PEState, base, *, grid: GridSpec, c_dt: float,
     coriolis_f: float = 0.0, by: Optional[int] = None,
-    bx: Optional[int] = None, interpret: bool = False,
+    bx: Optional[int] = None, base_coeffs: Tuple[float, ...] = (1.0,),
+    interpret: bool = False,
 ) -> PEState:
-    """out = base + c_dt * T(cur) in one fused pass."""
+    """out = sum_k coeff_k * base_k + c_dt * T(cur) in one fused pass.
+
+    base: a PEState (single base) or a tuple of PEStates matching
+    base_coeffs — the multi-base form fuses the RK4 accumulator combine
+    into the final stage kernel."""
+    bases = base if isinstance(base, tuple) else (base,)
+    if len(bases) != len(base_coeffs):
+        raise ValueError("len(base) != len(base_coeffs)")
+    nb = len(bases)
     L, ny, nx = grid.levels, grid.ny, grid.nx
     if by is None or bx is None:
         from njw_tpu.platform.device import detect
 
-        picked = _pick_blocks(L, ny, nx, _vmem_budget(detect()))
+        picked = _pick_blocks(L, ny, nx, _vmem_budget(detect()),
+                              n_base=nb)
         if picked is None:
             raise ValueError("PE pallas kernel: VMEM budget exceeded")
         by = by if by is not None else picked[0]
@@ -300,20 +326,24 @@ def pe_stage_pallas(
     kern = functools.partial(
         _pe_stage_kernel, L=L, by=by, bx=bx, dx=float(grid.dx),
         dy=float(grid.dy), f=float(coriolis_f), c_dt=float(c_dt),
+        base_coeffs=tuple(float(c) for c in base_coeffs),
     )
     (c3, t3, b3, l3, r3), (c2, t2, b2, l2, r2) = _block_specs(
         L, ny, nx, by, bx)
 
     s3 = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
     s2 = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
-    vmem_limit = min(_vmem_estimate(L, by, bx) + (8 << 20), 100 << 20)
+    vmem_limit = min(_vmem_estimate(L, by, bx, nb) + (8 << 20), 100 << 20)
 
+    base_ops = []
+    for b in bases:
+        base_ops += [b.u, b.v, b.T, b.q, b.ps]
     out = pl.pallas_call(
         kern,
         grid=(ny // by, nx // bx),
         in_specs=(
             [c3, t3, b3, l3, r3] * 4 + [c2, t2, b2, l2, r2]  # cur
-            + [c3, c3, c3, c3, c2]                           # base
+            + [c3, c3, c3, c3, c2] * nb                      # bases
         ),
         out_specs=(c3, c3, c3, c3, c2),
         out_shape=(s3, s3, s3, s3, s2),
@@ -323,7 +353,7 @@ def pe_stage_pallas(
     )(
         *([cur.u] * 5), *([cur.v] * 5), *([cur.T] * 5), *([cur.q] * 5),
         *([cur.ps] * 5),
-        base.u, base.v, base.T, base.q, base.ps,
+        *base_ops,
     )
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
@@ -433,14 +463,17 @@ def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
     stage = functools.partial(pe_stage_pallas, grid=grid, coriolis_f=f,
                               interpret=interpret)
 
+    third = 1.0 / 3.0
+
     def step(carry, s: PEState, _dt_ignored):
         s1 = stage(s, s, c_dt=0.5 * dt)
         s2 = stage(s1, s, c_dt=0.5 * dt)
         s3 = stage(s2, s, c_dt=dt)
-        acc = jax.tree.map(
-            lambda a, b, c, d: (-a + b + 2.0 * c + d) * (1.0 / 3.0),
-            s, s1, s2, s3)
-        out = stage(s3, acc, c_dt=dt / 6.0)
+        # final stage fuses the RK4 combine (-s + s1 + 2 s2 + s3)/3
+        # + dt/6 T(s3) — saves a full-state XLA read+write pass
+        out = stage(s3, (s, s1, s2, s3),
+                    base_coeffs=(-third, third, 2.0 * third, third),
+                    c_dt=dt / 6.0)
         return carry, out
 
     return Stepper(lambda s: (), step, "pe_rk4_pallas", 4)
