@@ -230,11 +230,20 @@ def _pick_blocks(L: int, ny: int, nx: int, vmem_budget: int,
     bxs = [fixed_bx] if fixed_bx is not None else [
         b for b in (nx, 2048, 1024, 512, 256, 128)
         if b <= nx and nx % b == 0 and b % 128 == 0]
+    # choose the feasible block with the LEAST modeled halo-read
+    # overhead (16/by y-slabs + 256/bx x-slabs of the cur traffic);
+    # maximizing by alone can pick a tiny bx whose x slabs double reads
+    best = None
+    best_cost = None
     for by in bys:
         for bx in bxs:
-            if _vmem_estimate(L, by, bx, n_base) <= vmem_budget:
-                return by, bx
-    return None
+            if _vmem_estimate(L, by, bx, n_base) > vmem_budget:
+                continue
+            cost = 16.0 / by + (0.0 if bx == nx else 256.0 / bx)
+            if best is None or cost < best_cost - 1e-9 or (
+                    abs(cost - best_cost) <= 1e-9 and by > best[0]):
+                best, best_cost = (by, bx), cost
+    return best
 
 
 def pe_pallas_supported(grid: GridSpec, params: PhysicsParams) -> bool:
