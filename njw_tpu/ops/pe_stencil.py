@@ -473,17 +473,29 @@ def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
                               interpret=interpret)
 
     third = 1.0 / 3.0
+    # Fuse the RK4 combine into the final stage ONLY when the 4-base
+    # working set fits the SAME blocks as the single-base stages —
+    # measured: with degraded blocks (config 5: (32,512) -> (32,256))
+    # the extra x-slab traffic cancels the saved XLA accumulator pass.
+    from njw_tpu.platform.device import detect
+
+    budget = _vmem_budget(detect())
+    fuse = (_pick_blocks(grid.levels, grid.ny, grid.nx, budget, n_base=4)
+            == _pick_blocks(grid.levels, grid.ny, grid.nx, budget))
 
     def step(carry, s: PEState, _dt_ignored):
         s1 = stage(s, s, c_dt=0.5 * dt)
         s2 = stage(s1, s, c_dt=0.5 * dt)
         s3 = stage(s2, s, c_dt=dt)
-        # final stage fuses the RK4 combine (-s + s1 + 2 s2 + s3)/3
-        # + dt/6 T(s3) — saves a full-state XLA read+write pass
-        out = stage(s3, (s, s1, s2, s3),
-                    base_coeffs=(-third, third, 2.0 * third, third),
-                    c_dt=dt / 6.0)
-        return carry, out
+        if fuse:
+            return carry, stage(
+                s3, (s, s1, s2, s3),
+                base_coeffs=(-third, third, 2.0 * third, third),
+                c_dt=dt / 6.0)
+        acc = jax.tree.map(
+            lambda a, b, c, d: (-a + b + 2.0 * c + d) * third,
+            s, s1, s2, s3)
+        return carry, stage(s3, acc, c_dt=dt / 6.0)
 
     return Stepper(lambda s: (), step, "pe_rk4_pallas", 4)
 
