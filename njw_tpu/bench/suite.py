@@ -73,7 +73,7 @@ class WorkloadBenchmark:
         state is not a pytree of arrays override this."""
         for a in _leaves(state):
             if hasattr(a, "shape") and hasattr(a, "dtype") and a.size:
-                np.asarray(a)[(0,) * a.ndim]
+                np.asarray(a[(0,) * a.ndim])  # device-side slice, tiny D2H
 
     def run(self) -> BenchmarkResult:
         caps = detect()
@@ -139,8 +139,10 @@ class WeatherBenchmark(WorkloadBenchmark):
         }
 
     def sync(self, sim):
-        np.asarray(sim.state.h[:1, :1] if hasattr(sim.state, "h")
-                   else sim.state.ps[:1, :1])
+        import jax
+
+        a = jax.tree.leaves(sim.state)[0]  # any prognostic field
+        np.asarray(a[(0,) * a.ndim])
 
 
 class NBodyBenchmark(WorkloadBenchmark):
@@ -286,7 +288,10 @@ class GeospatialBenchmark(WorkloadBenchmark):
 
         d = terrain_derivatives(dem)
         v = viewshed(dem, (self.size // 2, self.size // 2), n_samples=64)
-        jax.block_until_ready((d, v))
+        # hard D2H of the OUTPUTS (block_until_ready reports early on
+        # remote-tunnel backends; the input DEM orders after nothing)
+        np.asarray(d["slope"][:1, :1])
+        np.asarray(v[:1, :1])
         return self.size * self.size, "cells/s", {}
 
 

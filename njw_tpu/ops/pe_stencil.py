@@ -240,8 +240,8 @@ def _pick_blocks(L: int, ny: int, nx: int, vmem_budget: int,
             if _vmem_estimate(L, by, bx, n_base) > vmem_budget:
                 continue
             cost = 16.0 / by + (0.0 if bx == nx else 256.0 / bx)
-            if best is None or cost < best_cost - 1e-9 or (
-                    abs(cost - best_cost) <= 1e-9 and by > best[0]):
+            # ties resolve to the first candidate = largest by (bys desc)
+            if best is None or cost < best_cost - 1e-9:
                 best, best_cost = (by, bx), cost
     return best
 

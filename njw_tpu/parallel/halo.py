@@ -119,6 +119,17 @@ def sharded_state(state, mesh: Mesh):
     return jax.tree.map(put, state)
 
 
+def _pad4_filler(f, y_axis: str = "y"):
+    """y halo pad for the fused SWE RK4 kernel paths: exchange only the
+    4 rows the 4-stage kernel consumes (top slab rows 4-7, bottom slab
+    rows 0-3), embedded in 8-row slabs with zero filler it never reads —
+    half the ICI payload of full 8-row exchange."""
+    top4 = _ring_shift(f[..., -4:, :], y_axis, +1)
+    bot4 = _ring_shift(f[..., :4, :], y_axis, -1)
+    filler = jnp.zeros(f.shape[:-2] + (4, f.shape[-1]), f.dtype)
+    return jnp.concatenate([filler, top4, f, bot4, filler], axis=-2)
+
+
 def _stitch(top, left, interior, right, bot):
     """Reassemble (1, lx) + (h, 1) + (h, w) + (h, 1) + (1, lx) edge strips
     into the full (ly, lx) block (leading dims broadcast)."""
@@ -566,14 +577,7 @@ def sharded_swe_step_pallas(
     if ly % 8:
         raise ValueError("per-shard rows must be a multiple of 8")
 
-    def pad8(f):
-        """Exchange only the 4 halo rows RK4 needs (half the ICI
-        payload); embed in 8-row slabs with zero filler the kernel never
-        reads (it consumes top rows 4-7 and bottom rows 0-3)."""
-        top4 = _ring_shift(f[-4:, :], "y", +1)
-        bot4 = _ring_shift(f[:4, :], "y", -1)
-        filler = jnp.zeros((4, f.shape[1]), f.dtype)
-        return jnp.concatenate([filler, top4, f, bot4, filler], axis=0)
+    pad8 = _pad4_filler
 
     def one_step(s: WeatherState) -> WeatherState:
         u, v, h = swe_rk4_step_pallas_local(
@@ -627,12 +631,7 @@ def sharded_swe_step_pallas_2d(
         right = _ring_shift(f[:, :128], "x", -1)
         return jnp.concatenate([left, f, right], axis=1)
 
-    def pad_y(f):
-        # 4 true halo rows + 4 filler (see the 1-D path's pad8)
-        top4 = _ring_shift(f[-4:, :], "y", +1)
-        bot4 = _ring_shift(f[:4, :], "y", -1)
-        filler = jnp.zeros((4, f.shape[1]), f.dtype)
-        return jnp.concatenate([filler, top4, f, bot4, filler], axis=0)
+    pad_y = _pad4_filler
 
     def one_step(s: WeatherState) -> WeatherState:
         up, vp, hp = (pad_y(pad_x(f)) for f in (s.u, s.v, s.h))

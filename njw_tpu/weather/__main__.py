@@ -82,6 +82,8 @@ def main(argv=None) -> int:
         backend=args.backend, max_steps=args.steps,
         output_interval=args.output_interval,
     )
+    if args.model == "primitive" and args.initial == "vortex":
+        args.initial = "baroclinic"  # PE default (vortex is SWE-only)
     sim_kw = {}
     if args.mountain_height > 0.0:
         if args.model != "primitive":

@@ -258,6 +258,10 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
 
     # backend selection: fused Pallas PE stage kernel when eligible
     # (mirrors the SWE selection; terrain stays on the XLA path)
+    if config.backend == "pallas" and phi_s is not None:
+        raise ValueError(
+            "backend='pallas' does not support orography (the fused stage "
+            "kernel has no phi_s input); use backend='auto' or 'xla'")
     stepper_factory = None
     if config.backend in ("auto", "pallas") and phi_s is None \
             and config.integration_method == "rk4":
