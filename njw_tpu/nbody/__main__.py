@@ -28,6 +28,11 @@ def build_parser():
     p.add_argument("--input-file", default=None)
     p.add_argument("--integrator", default="leapfrog",
                    choices=["euler", "leapfrog", "verlet", "rk4"])
+    p.add_argument("--force-method", default="auto",
+                   choices=["auto", "direct", "mxu", "pm"],
+                   help="pm = particle-mesh (periodic box --box-size; "
+                        "for N >> 1e5)")
+    p.add_argument("--pm-mesh", type=int, default=64)
     p.add_argument("--dt", type=float, default=0.01)
     p.add_argument("--duration", type=float, default=1.0)
     p.add_argument("--output-dir", default=None)
@@ -49,7 +54,9 @@ def main(argv=None) -> int:
             min_mass=args.min_mass, max_mass=args.max_mass,
             velocity_scale=args.velocity_scale, G=args.g_constant,
             seed=args.seed)
-        sim = NBodySimulation(system, integrator=args.integrator, dt=args.dt)
+        sim = NBodySimulation(system, integrator=args.integrator,
+                              dt=args.dt, force_method=args.force_method,
+                              pm_box=args.box_size, pm_mesh=args.pm_mesh)
     elif args.system_type == "solar":
         system = create_solar_system(scale_factor=args.scale_factor,
                                      seed=args.seed)
