@@ -117,3 +117,105 @@ def pm_potential_energy(pos, mass, *, mesh: int = 64, box: float = 1.0,
     phi = jnp.fft.irfftn(phi_k, s=(mesh, mesh, mesh))
     particle_phi = cic_gather(phi, pos, mesh, box)
     return 0.5 * jnp.sum(mass * particle_phi)
+
+
+# ---------------------------------------------------------------------------
+# P3M: Ewald-split particle-mesh. PM alone softens forces below ~2 mesh
+# cells; P3M smears the mesh charge with a Gaussian (exp(-k^2/4a^2) in
+# k-space) and restores the short range with the exact erfc-screened pair
+# force over cell-list neighbors — the production N-body method.
+# ---------------------------------------------------------------------------
+
+
+def _short_range_accel(pos, mass, box: float, alpha: float, r_cut: float,
+                       G, nc, capacity: int):
+    """erfc-screened direct pair accelerations over 27-cell neighbors.
+
+    a_i = G sum_j m_j [erfc(a r)/r^2 + 2a/sqrt(pi) exp(-a^2 r^2)/r] r_ij/r
+    (reuses the MD cell-list machinery; NaN-poisons on cell overflow).
+    """
+    from njw_tpu.md.neighbors import build_cell_table, neighbor_candidates
+
+    n = pos.shape[0]
+    box3 = jnp.asarray([box, box, box], jnp.float32)
+    table, coords, occ = build_cell_table(pos, box3, nc, capacity)
+    cand = neighbor_candidates(table, coords, nc)       # (N, M)
+
+    pos_pad = jnp.concatenate(
+        [pos, jnp.full((1, 3), 1e9, pos.dtype)], axis=0)
+    mass_pad = jnp.append(mass, 0.0)
+
+    d = pos_pad[cand] - pos[:, None, :]
+    d = d - box * jnp.round(d / box)                    # minimum image
+    r2 = jnp.sum(d * d, axis=-1)
+    i_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    mask = (cand != n) & (cand != i_idx) & (r2 < r_cut * r_cut)
+    r2 = jnp.where(mask, r2, 1.0)
+    r = jnp.sqrt(r2)
+    inv_r = 1.0 / r
+    kernel = (jax.lax.erfc(alpha * r) * inv_r
+              + (2.0 * alpha / jnp.sqrt(jnp.pi))
+              * jnp.exp(-(alpha * r) ** 2)) * (inv_r * inv_r)
+    w = jnp.where(mask, mass_pad[cand] * kernel, 0.0)   # (N, M)
+    acc = G * jnp.sum(w[..., None] * d, axis=1)         # toward neighbors
+    return jnp.where(occ <= capacity, 1.0, jnp.nan) * acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "box", "alpha", "r_cut"))
+def p3m_accelerations(pos, mass, *, mesh: int = 64, box: float = 1.0,
+                      G=1.0, alpha: float = 0.0, r_cut: float = 0.0):
+    """P3M gravitational accelerations (N, 3), periodic box.
+
+    Defaults: r_cut = 5 mesh cells, alpha = 2.5 / r_cut (smear scale
+    2 cells — resolvable after CIC deconvolution). Exact in the far
+    field via the smeared mesh, exact at short range via the erfc pair
+    force; residual error ~1-3% around r_cut.
+    """
+    h = box / mesh
+    r_cut = r_cut or 5.0 * h
+    alpha = alpha or 2.5 / r_cut
+    pos = jnp.asarray(pos, jnp.float32) % box
+    mass = jnp.asarray(mass, jnp.float32)
+
+    # long range: PM with Gaussian-smeared Green's function
+    rho = cic_deposit(pos, mass, mesh, box) / (h ** 3)
+    k1 = 2.0 * jnp.pi * jnp.fft.fftfreq(mesh, d=h)
+    kx = k1[:, None, None]
+    ky = k1[None, :, None]
+    kz = jnp.fft.rfftfreq(mesh, d=h)[None, None, :] * 2.0 * jnp.pi
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+    rho_k = jnp.fft.rfftn(rho)
+    smear = jnp.exp(-k2 / (4.0 * alpha * alpha))
+
+    # CIC deconvolution: deposit AND gather each convolve with the CIC
+    # triangle window W(k) = prod sinc^2(k_i h / 2); divide by W^2 so the
+    # smeared Green's function is not additionally attenuated
+    def _sinc(x):
+        return jnp.where(jnp.abs(x) > 1e-8, jnp.sin(x) / jnp.where(
+            jnp.abs(x) > 1e-8, x, 1.0), 1.0)
+
+    w_cic = (_sinc(kx * h / 2.0) * _sinc(ky * h / 2.0)
+             * _sinc(kz * h / 2.0)) ** 2
+    deconv = 1.0 / jnp.maximum(w_cic * w_cic, 0.05)
+
+    phi_k = jnp.where(k2 > 0,
+                      -4.0 * jnp.pi * G * rho_k * smear * deconv / k2, 0.0)
+    # spectral gradient g = -ik phi (a central difference attenuates by
+    # sinc(k h), visibly softening the short range): 3 inverse FFTs
+    shape3 = (mesh, mesh, mesh)
+    gfield = jnp.stack([
+        jnp.fft.irfftn(-1j * kx * phi_k, s=shape3),
+        jnp.fft.irfftn(-1j * ky * phi_k, s=shape3),
+        jnp.fft.irfftn(-1j * kz * phi_k, s=shape3),
+    ])
+    acc_long = cic_gather(gfield, pos, mesh, box).T
+
+    # short range over cell neighbors (cells sized to r_cut)
+    from njw_tpu.md.neighbors import cell_grid, pick_capacity
+
+    nc = cell_grid([box] * 3, r_cut)
+    cap = pick_capacity(pos.shape[0], [box] * 3, nc)
+    acc_short = _short_range_accel(pos, mass, box, alpha, r_cut, G,
+                                   nc, cap)
+    return acc_long + acc_short

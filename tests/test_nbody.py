@@ -238,3 +238,46 @@ class TestPMSimulation:
                               force_method="pm", pm_box=1.0, pm_mesh=32)
         sim.step(3)
         assert bool(np.isfinite(np.asarray(sim.system.pos)).all())
+
+
+class TestP3M:
+    """Ewald-split particle-mesh (exact short range restores what plain
+    PM softens below ~2 mesh cells)."""
+
+    def test_matches_exact_ewald(self):
+        """P3M forces == exact periodic (Ewald) gravity to mesh accuracy.
+        The exact reference reuses md.ewald with masses as charges
+        (gravity = Coulomb scaled by -G/K, same neutralizing-background
+        convention as the zeroed k=0 mode)."""
+        from njw_tpu.md.ewald import make_ewald_coulomb
+        from njw_tpu.md.forces import COULOMB_K
+        from njw_tpu.nbody.pm import p3m_accelerations
+
+        rng = np.random.default_rng(12)
+        n = 40
+        box = 1.0
+        pos = rng.random((n, 3)).astype(np.float32)
+        mass = (0.5 + rng.random(n)).astype(np.float32)
+
+        got = np.asarray(p3m_accelerations(pos, mass, mesh=64, box=box))
+        _, coul_forces = make_ewald_coulomb(
+            np.asarray([box] * 3), alpha=6.0, r_cut=0.49, kmax=14)
+        f_coul = np.asarray(coul_forces(pos, mass))   # on "charges" m
+        want = (-1.0 / COULOMB_K) * f_coul / mass[:, None]  # accel, attract
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=0.03 * scale)
+
+    def test_short_range_restored_vs_pm(self):
+        """At sub-mesh separation, plain PM under-predicts the force;
+        P3M recovers near-Newtonian magnitude."""
+        from njw_tpu.nbody.pm import p3m_accelerations, pm_accelerations
+
+        r = 0.02   # ~1.3 mesh cells at mesh=64
+        pos = np.array([[0.5 - r / 2, 0.5, 0.5],
+                        [0.5 + r / 2, 0.5, 0.5]], np.float32)
+        mass = np.ones(2, np.float32)
+        newton = 1.0 / r ** 2
+        a_pm = abs(float(pm_accelerations(pos, mass, mesh=64)[0, 0]))
+        a_p3m = abs(float(p3m_accelerations(pos, mass, mesh=64)[0, 0]))
+        assert a_pm < 0.7 * newton          # PM is soft here
+        assert abs(a_p3m - newton) < 0.05 * newton   # P3M is not
