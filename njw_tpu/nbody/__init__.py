@@ -20,5 +20,6 @@ from njw_tpu.nbody.system import (
     create_solar_system, system_diagnostics,
 )
 from njw_tpu.nbody.forces import accelerations, potential_energy
-from njw_tpu.nbody.pm import pm_accelerations, pm_potential_energy
+from njw_tpu.nbody.pm import (pm_accelerations, pm_potential_energy,
+                              p3m_accelerations)
 from njw_tpu.nbody.simulation import NBodySimulation
