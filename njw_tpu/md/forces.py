@@ -107,7 +107,21 @@ def _bonded_exclusion(n: int, topo: Topology):
     return jnp.asarray(mask)
 
 
-_CELL_LIST_MIN_N = 2000  # below this, masked all-pairs wins on TPU
+# auto-selection crossover for the cell list. MEASURED on v5e: TPU
+# gathers are so slow that masked all-pairs wins by 25-85x while its
+# (N, N) working set fits HBM (20k: 13.6 ms all-pairs vs 311 ms cells;
+# 5k: 0.9 vs 74 ms) — the cell list is the MEMORY escape hatch, not a
+# speed win, so on TPU it auto-engages only where all-pairs cannot run.
+# On CPU the crossover is early (gathers are cheap).
+_CELL_LIST_MIN_N_CPU = 2000
+_CELL_LIST_MIN_N_TPU = 30_000
+
+
+def _cell_list_min_n() -> int:
+    import jax
+
+    return (_CELL_LIST_MIN_N_TPU if jax.devices()[0].platform == "tpu"
+            else _CELL_LIST_MIN_N_CPU)
 
 
 def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
@@ -138,7 +152,7 @@ def make_force_fn(topo: Topology, lj: LJParams, cutoff: float, n: int,
             raise ValueError("cell_list needs >= 3 cells per dim "
                              f"(box {box_static}, cutoff {cutoff})")
         use_cells = eligible and (method == "cell_list"
-                                  or n >= _CELL_LIST_MIN_N)
+                                  or n >= _cell_list_min_n())
     elif method == "cell_list":
         raise ValueError("cell_list requires box_static")
 
