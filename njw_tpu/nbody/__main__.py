@@ -29,9 +29,9 @@ def build_parser():
     p.add_argument("--integrator", default="leapfrog",
                    choices=["euler", "leapfrog", "verlet", "rk4"])
     p.add_argument("--force-method", default="auto",
-                   choices=["auto", "direct", "mxu", "pm"],
-                   help="pm = particle-mesh (periodic box --box-size; "
-                        "for N >> 1e5)")
+                   choices=["auto", "direct", "mxu", "pm", "p3m"],
+                   help="pm/p3m = (Ewald-split) particle-mesh for N >> 1e5 "
+                        "(periodic box --box-size)")
     p.add_argument("--pm-mesh", type=int, default=64)
     p.add_argument("--dt", type=float, default=0.01)
     p.add_argument("--duration", type=float, default=1.0)

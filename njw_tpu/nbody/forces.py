@@ -70,14 +70,14 @@ def accelerations(s: NBodySystem, chunk: int = _DEFAULT_CHUNK,
     the O(N + M^3 log M) particle-mesh solver ('pm', periodic box
     pm_box^3, njw_tpu.nbody.pm) for N >> 1e5."""
     n = s.pos.shape[0]
-    if method == "pm":
-        from njw_tpu.nbody.pm import pm_accelerations
+    if method in ("pm", "p3m"):
+        from njw_tpu.nbody.pm import p3m_accelerations, pm_accelerations
 
         if pm_box <= 0:
-            raise ValueError("method='pm' requires pm_box (periodic box "
-                             "side length)")
-        return pm_accelerations(s.pos, s.mass, mesh=pm_mesh,
-                                box=float(pm_box), G=s.G)
+            raise ValueError(f"method={method!r} requires pm_box "
+                             "(periodic box side length)")
+        fn = pm_accelerations if method == "pm" else p3m_accelerations
+        return fn(s.pos, s.mass, mesh=pm_mesh, box=float(pm_box), G=s.G)
     if method == "auto":
         method = "direct" if n < _MXU_THRESHOLD else "mxu"
     row_fn = _acc_rows_direct if method == "direct" else _acc_rows_mxu
