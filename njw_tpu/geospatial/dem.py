@@ -104,33 +104,125 @@ def viewshed(dem, observer_yx, observer_height: float = 1.8,
     return vis.at[oy, ox].set(True)
 
 
+# ---------------------------------------------------------------------------
+# Fast-sweeping building blocks.
+#
+# The r2 implementations relaxed one cell per iteration (256-512 sequential
+# fori_loop steps — the long-sequential-scan TPU anti-pattern measured in
+# SIGNAL_BENCH.md). Each directed LINE sweep below instead propagates
+# across the whole grid in one log-depth scan (cumsum+cummin for min-plus;
+# a 3-component associative scan for the fill recurrence), and diagonal
+# directions become column scans after a shear (pad+reshape — no gather).
+# A full cycle = 8 directed sweeps; iterate cycles to the SAME fixed point
+# as the one-cell relaxation, with convergence-based early exit
+# (fast-sweeping converges in a handful of cycles for natural terrain).
+# ---------------------------------------------------------------------------
+
+_BIG = 1e30
+
+
+def _shear(a, pad_value):
+    """out[i, i+j] = a[i, j]: anti-diagonals (i+j const) become columns.
+    Pure pad+reshape — each row i is offset by i in the flat layout."""
+    h, w = a.shape
+    p = jnp.pad(a, ((0, 0), (0, h)), constant_values=pad_value)
+    return p.reshape(-1)[: h * (w + h - 1)].reshape(h, w + h - 1)
+
+
+def _unshear(x, h, w):
+    """Inverse of _shear: a[i, j] = x[i, i+j]."""
+    flat = x.reshape(-1)
+    flat = jnp.pad(flat, (0, h * (w + h) - flat.size))
+    return flat.reshape(h, w + h)[:, :w]
+
+
+def _minplus_sweep(d, e):
+    """Exact shortest-path line relaxation along the LAST axis, both
+    directions (Gauss-Seidel: the backward pass sees the forward result).
+
+    e[..., j] is the edge cost between cells j-1 and j (e[..., 0] = 0).
+    min over sources j'<=j of d[j'] + sum(e[j'+1..j]) equals
+    C[j] + cummin(d - C)[j] with C = cumsum(e) — a log-depth scan instead
+    of a length-n relaxation chain."""
+    ax = d.ndim - 1
+    C = jnp.cumsum(e, axis=ax)
+    d = jnp.minimum(d, C + jax.lax.cummin(d - C, axis=ax))
+    er = jnp.concatenate(
+        [jnp.zeros_like(e[..., :1]), jnp.flip(e, ax)[..., :-1]], axis=ax)
+    df = jnp.flip(d, ax)
+    Cr = jnp.cumsum(er, axis=ax)
+    df = jnp.minimum(df, Cr + jax.lax.cummin(df - Cr, axis=ax))
+    return jnp.flip(df, ax)
+
+
+def _fill_sweep(wv, z, eps):
+    """One Gauss-Seidel line solve of W = min(W, max(z, W_prev + eps))
+    along the last axis, both directions. The per-cell update map
+    f(h) = min(a, max(b, h + m)) is closed under composition
+    (A = min(a2, max(b2, a1+m2)), B = max(b2, b1+m2), M = m1+m2), so the
+    whole line resolves in one associative scan."""
+    ax = wv.ndim - 1
+
+    def compose(l, r):
+        a1, b1, m1 = l
+        a2, b2, m2 = r
+        return (jnp.minimum(a2, jnp.maximum(b2, a1 + m2)),
+                jnp.maximum(b2, b1 + m2), m1 + m2)
+
+    m = jnp.full_like(wv, eps)
+    # applying the prefix map to h0=+BIG yields A (A <= a <= BIG)
+    wv, _, _ = jax.lax.associative_scan(compose, (wv, z, m), axis=ax)
+    wf, zf = jnp.flip(wv, ax), jnp.flip(z, ax)
+    wf, _, _ = jax.lax.associative_scan(compose, (wf, zf, m), axis=ax)
+    return jnp.flip(wf, ax)
+
+
+def _converge(cycle, x0, n_max: int, tol: float):
+    """Iterate `cycle` until max|delta| <= tol (monotone relaxations)."""
+
+    def cond(state):
+        _, delta, it = state
+        return jnp.logical_and(it < n_max, delta > tol)
+
+    def body(state):
+        x, _, it = state
+        x2 = cycle(x)
+        return x2, jnp.max(jnp.abs(x2 - x)), it + 1
+
+    out, _, _ = jax.lax.while_loop(
+        cond, body, (x0, jnp.float32(jnp.inf), jnp.int32(0)))
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_iterations",))
-def fill_sinks(dem, n_iterations: int = 256, epsilon: float = 1e-3):
-    """Depression filling by iterative lowering from a flooded surface
-    (ref: fillSinksIterationKernel + init, dem_kernels.cu:276-356):
-    W is initialized to +inf except at the boundary, then
-    W <- max(z, min(W, min_neighbor(W) + eps)) until stable."""
+def fill_sinks(dem, n_iterations: int = 64, epsilon: float = 1e-3):
+    """Depression filling: W starts at +inf except at the boundary, and
+    relaxes to the least fixed point of
+    W = max(z, min(W, min_8neighbor(W) + eps))
+    (ref: fillSinksIterationKernel + init, dem_kernels.cu:276-356).
+    Implemented as fast-sweeping line solves (see _fill_sweep);
+    n_iterations bounds the number of 8-direction sweep CYCLES (the r2
+    one-cell-per-step relaxation needed one iteration per path cell)."""
     z = jnp.asarray(dem, jnp.float32)
-    big = jnp.float32(1e30)
+    h, w = z.shape
+    big = jnp.float32(_BIG)
     w0 = jnp.full_like(z, big)
     w0 = w0.at[0, :].set(z[0, :]).at[-1, :].set(z[-1, :])
     w0 = w0.at[:, 0].set(z[:, 0]).at[:, -1].set(z[:, -1])
+    zs1 = _shear(z, -_BIG)
+    zs2 = _shear(z[:, ::-1], -_BIG)
 
-    def min_neighbor(w):
-        p = jnp.pad(w, 1, mode="constant", constant_values=big)
-        h, ww = w.shape
-        stack = jnp.stack([
-            p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + ww]
-            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-            if not (dy == 0 and dx == 0)
-        ])
-        return jnp.min(stack, axis=0)
+    def cycle(wv):
+        wv = jnp.maximum(z, _fill_sweep(wv, z, epsilon))          # E, W
+        wv = jnp.maximum(z, _fill_sweep(wv.T, z.T, epsilon).T)    # S, N
+        ws = _shear(wv, _BIG)                                     # SW, NE
+        ws = _fill_sweep(ws.T, zs1.T, epsilon).T
+        wv = jnp.maximum(z, _unshear(ws, h, w))
+        ws = _shear(wv[:, ::-1], _BIG)                            # SE, NW
+        ws = _fill_sweep(ws.T, zs2.T, epsilon).T
+        return jnp.maximum(z, _unshear(ws, h, w)[:, ::-1])
 
-    def body(_, w):
-        cand = jnp.maximum(z, min_neighbor(w) + epsilon)
-        return jnp.minimum(w, cand)
-
-    return jax.lax.fori_loop(0, n_iterations, body, w0)
+    return _converge(cycle, w0, n_iterations, epsilon * 0.25)
 
 
 _D8_OFFSETS = np.asarray(
@@ -157,67 +249,86 @@ def flow_direction(dem):
 
 
 @partial(jax.jit, static_argnames=("n_iterations",))
-def flow_accumulation(dem, n_iterations: int = 256):
-    """Cells drained through each cell (including itself): iterative
-    push along D8 directions until the longest flow path is resolved."""
+def flow_accumulation(dem, n_iterations: int = 0):
+    """Cells drained through each cell (including itself).
+
+    The D8 directions form a forest (each cell has at most one outgoing
+    pointer), so accumulation = sum_k (F^T)^k w with F the pointer matrix.
+    F^T is nilpotent, so the series is computed EXACTLY by pointer
+    doubling: ceil(log2(n)) rounds of (scatter-add along ptr; ptr <-
+    ptr[ptr]) — replaces the r2 one-cell-per-iteration push (256
+    sequential rounds) with ~18 for a 512^2 grid. n_iterations (kept for
+    API compatibility) optionally caps the resolvable path length."""
     z = jnp.asarray(dem, jnp.float32)
     h, w = z.shape
+    n = h * w
     fdir = flow_direction(z)
     offs = jnp.asarray(_D8_OFFSETS)
+    dy = offs[jnp.clip(fdir, 0, 7), 0]
+    dx = offs[jnp.clip(fdir, 0, 7), 1]
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    ty, tx = yy + dy, xx + dx
+    valid = ((fdir >= 0) & (ty >= 0) & (ty < h) & (tx >= 0) & (tx < w))
+    # pits and off-grid flows drain into a dead slot at index n
+    ptr = jnp.where(valid, ty * w + tx, n).reshape(-1).astype(jnp.int32)
 
-    def body(_, acc):
-        new = jnp.ones_like(acc)
-        # each neighbor j contributes its acc if it flows into this cell
-        for i, (dy, dx) in enumerate(_D8_OFFSETS):
-            # rolled[i,j] holds the value of the neighbor at (i-dy, j-dx);
-            # that neighbor flows into (i,j) iff its D8 direction is the
-            # offset (dy, dx) pointing from it to us.
-            nb_acc = jnp.roll(jnp.roll(acc, dy, 0), dx, 1)
-            nb_dir = jnp.roll(jnp.roll(fdir, dy, 0), dx, 1)
-            opp = _D8_OFFSETS.tolist().index([dy, dx])
-            contrib = jnp.where(nb_dir == opp, nb_acc, 0.0)
-            # cells rolled in from the border are invalid
-            valid = jnp.ones((h, w), bool)
-            if dy > 0:
-                valid = valid.at[:dy, :].set(False)
-            elif dy < 0:
-                valid = valid.at[dy:, :].set(False)
-            if dx > 0:
-                valid = valid.at[:, :dx].set(False)
-            elif dx < 0:
-                valid = valid.at[:, dx:].set(False)
-            new = new + jnp.where(valid, contrib, 0.0)
-        return new
+    max_len = n if n_iterations <= 0 else min(n_iterations, n)
+    rounds = max(int(np.ceil(np.log2(max(max_len, 2)))), 1)
 
-    acc = jnp.ones((h, w), jnp.float32)
-    return jax.lax.fori_loop(0, n_iterations, body, acc)
+    def body(_, state):
+        acc, p = state
+        sums = jnp.zeros(n + 1, jnp.float32).at[p].add(acc[:n])
+        acc = acc + sums
+        p = jnp.concatenate([p, jnp.array([n], jnp.int32)])[p]
+        return acc, p
+
+    acc0 = jnp.ones(n + 1, jnp.float32).at[n].set(0.0)
+    acc, _ = jax.lax.fori_loop(0, rounds, body, (acc0, ptr))
+    return acc[:n].reshape(h, w)
 
 
 @partial(jax.jit, static_argnames=("n_iterations",))
-def cost_distance(cost, source_yx, n_iterations: int = 512):
-    """Accumulated-cost surface from a source via Bellman-Ford-style
-    relaxation over the 8-neighborhood (ref least-cost path capability,
-    dem_processing.hpp:83)."""
+def cost_distance(cost, source_yx, n_iterations: int = 64):
+    """Accumulated-cost surface from a source over the 8-neighborhood
+    with edge cost hypot(dy,dx) * (c_from + c_to) / 2 (ref least-cost
+    path capability, dem_processing.hpp:83).
+
+    Fast-sweeping: full-grid min-plus LINE relaxations (E/W, S/N, and
+    both diagonal families via shear) iterated to the Bellman fixed
+    point — same answer as the r2 one-cell-per-step relaxation, but each
+    sweep is a log-depth scan and natural terrain converges in a few
+    cycles. n_iterations bounds the sweep cycles."""
     c = jnp.asarray(cost, jnp.float32)
     h, w = c.shape
-    big = jnp.float32(1e30)
-    dist = jnp.full_like(c, big).at[source_yx[0], source_yx[1]].set(0.0)
+    big = jnp.float32(_BIG)
+    d0 = jnp.full_like(c, big).at[source_yx[0], source_yx[1]].set(0.0)
 
-    def body(_, d):
-        best = d
-        p = jnp.pad(d, 1, mode="constant", constant_values=big)
-        for dy, dx in _D8_OFFSETS.tolist():
-            nb = p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
-            step = float(np.hypot(dy, dx)) * 0.5 * (
-                c + jnp.pad(c, 1, mode="edge")[1 + dy: 1 + dy + h,
-                                               1 + dx: 1 + dx + w])
-            best = jnp.minimum(best, nb + step)
-        return best
+    def edges(cc):
+        return jnp.concatenate(
+            [jnp.zeros_like(cc[..., :1]),
+             0.5 * (cc[..., :-1] + cc[..., 1:])], axis=-1)
 
-    return jax.lax.fori_loop(0, n_iterations, body, dist)
+    r2 = float(np.sqrt(2.0))
+    e_h = edges(c)
+    e_v = edges(c.T)
+    # sheared cost pads are ZERO so cumulative sums stay real-sized (pad
+    # cells carry d=BIG and can never win a relaxation)
+    e_d1 = r2 * edges(_shear(c, 0.0).T)
+    e_d2 = r2 * edges(_shear(c[:, ::-1], 0.0).T)
+
+    def cycle(d):
+        d = _minplus_sweep(d, e_h)                        # E, W
+        d = _minplus_sweep(d.T, e_v).T                    # S, N
+        ds = _shear(d, _BIG)                              # SW, NE
+        d = _unshear(_minplus_sweep(ds.T, e_d1).T, h, w)
+        ds = _shear(d[:, ::-1], _BIG)                     # SE, NW
+        d = _unshear(_minplus_sweep(ds.T, e_d2).T, h, w)[:, ::-1]
+        return jnp.minimum(d, big)
+
+    return _converge(cycle, d0, n_iterations, 1e-5)
 
 
-def least_cost_path(cost, source_yx, target_yx, n_iterations: int = 512):
+def least_cost_path(cost, source_yx, target_yx, n_iterations: int = 64):
     """Backtrack the cost-distance surface from target to source.
     Returns list of (y, x) (host-side walk)."""
     dist = np.asarray(cost_distance(cost, source_yx,
@@ -291,7 +402,7 @@ class DEMProcessor:
     def terrain_derivatives(self):
         return terrain_derivatives(self.dem, self.cell_size)
 
-    def hydrology(self, n_iterations: int = 256):
+    def hydrology(self, n_iterations: int = 64):
         filled = fill_sinks(self.dem, n_iterations)
         return {
             "filled": filled,

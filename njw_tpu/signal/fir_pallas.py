@@ -1,0 +1,212 @@
+"""Fused batch-FIR Pallas kernel: one HBM read + one write.
+
+The XLA banded-matmul FIR (filters._fir_apply_mxu) is correct but
+traffic-bound on large batches: pad + frame + shifted-prev copies plus two
+einsum reads move ~7x the operand size through HBM (measured 5.3 ms for
+1000 x 100k — the reference's batch row, ref:
+src/signal_processing/README.md:151). This kernel streams each (rows,
+frames) block of x through VMEM exactly once: the frame/shift structure is
+built in-register, and the convolution runs as banded MXU matmuls with an
+explicit bf16 hi/lo split (3-pass, ~f32 accuracy), so the kernel's HBM
+traffic is the floor: read x once, write y once.
+
+Same math as filters.fir_apply: y[t] = sum_d h[d] x[t-d] with zero initial
+state (causal) — the in-frame band H0 and previous-frame band H1 of
+filters._fir_band_matrices. Replaces the reference's three CUDA FIR
+kernels for the batched case (ref: filter_kernels.cu:77-170).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_F = 128  # MXU lane width / frame size
+
+
+def _split_hi_lo(a_f32):
+    hi = a_f32.astype(jnp.bfloat16)
+    lo = (a_f32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _fir_batch_kernel(x_ref, tail_ref, h0hi_ref, h0lo_ref, h1hi_ref,
+                      h1lo_ref, y_ref, *, n: int, bw: int, passes: int):
+    j = pl.program_id(1)
+    bm = x_ref.shape[0]
+    nfb = bw // _F
+
+    xb = x_ref[...]
+    # zero the garbage tail of a partial final block (j*bw + col >= n):
+    # H0's zero band would otherwise propagate NaN garbage into valid
+    # columns of the same frame (0 * nan = nan).
+    col = jax.lax.broadcasted_iota(jnp.int32, (bm, bw), 1)
+    xb = jnp.where(col + j * bw < n, xb, 0.0)
+    # previous 128 samples (last frame of block j-1); zeros for j == 0
+    tail = jnp.where(j > 0, tail_ref[...], 0.0)
+
+    x_hi, x_lo = _split_hi_lo(xb)
+    t_hi, t_lo = _split_hi_lo(tail)
+
+    def bands(xs, ts):
+        frames = xs.reshape(bm, nfb, _F)
+        prev = jnp.concatenate([ts[:, None, :], frames[:, :-1, :]], axis=1)
+        return frames.reshape(bm * nfb, _F), prev.reshape(bm * nfb, _F)
+
+    c_hi, p_hi = bands(x_hi, t_hi)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    y = dot(c_hi, h0hi_ref[...]) + dot(p_hi, h1hi_ref[...])
+    if passes >= 2:
+        c_lo, p_lo = bands(x_lo, t_lo)
+        y += dot(c_lo, h0hi_ref[...]) + dot(p_lo, h1hi_ref[...])
+    if passes >= 3:
+        y += dot(c_hi, h0lo_ref[...]) + dot(p_hi, h1lo_ref[...])
+    y_ref[...] = y.reshape(bm, bw)
+
+
+@partial(jax.jit,
+         static_argnames=("block_rows", "block_frames", "passes",
+                          "interpret"))
+def _fir_batch_call(x, h0, h1, block_rows: int, block_frames: int,
+                    passes: int, interpret: bool):
+    b, n = x.shape
+    bm = block_rows
+    bw = block_frames * _F
+    grid = (pl.cdiv(b, bm), pl.cdiv(n, bw))
+
+    h0hi, h0lo = _split_hi_lo(h0)
+    h1hi, h1lo = _split_hi_lo(h1)
+
+    hspec = pl.BlockSpec((_F, _F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    # tail block = the single 128-lane frame preceding block j; its block
+    # index is in units of 128 lanes: j * block_frames - 1 (clamped; the
+    # kernel zeroes it for j == 0).
+    nfb = block_frames
+    return pl.pallas_call(
+        partial(_fir_batch_kernel, n=n, bw=bw, passes=passes),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, _F),
+                         lambda i, j: (i, jnp.maximum(j * nfb - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            hspec, hspec, hspec, hspec,
+        ],
+        out_specs=pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, h0hi, h0lo, h1hi, h1lo)
+
+
+def _fir_flat_kernel(x_ref, tail_ref, h0hi_ref, h0lo_ref, h1hi_ref,
+                     h1lo_ref, y_ref, *, passes: int):
+    i = pl.program_id(0)
+    xb = x_ref[...]                                   # (bmf, 128) frames
+    tail = jnp.where(i > 0, tail_ref[...], 0.0)[-1:, :]  # frame before blk
+
+    x_hi, x_lo = _split_hi_lo(xb)
+    t_hi, t_lo = _split_hi_lo(tail)
+    p_hi = jnp.concatenate([t_hi, x_hi[:-1, :]], axis=0)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    y = dot(x_hi, h0hi_ref[...]) + dot(p_hi, h1hi_ref[...])
+    if passes >= 2:
+        p_lo = jnp.concatenate([t_lo, x_lo[:-1, :]], axis=0)
+        y += dot(x_lo, h0hi_ref[...]) + dot(p_lo, h1hi_ref[...])
+    if passes >= 3:
+        y += dot(x_hi, h0lo_ref[...]) + dot(p_hi, h1lo_ref[...])
+    y_ref[...] = y
+
+
+@partial(jax.jit, static_argnames=("block_frames", "passes", "interpret"))
+def _fir_flat_call(xf, h0, h1, block_frames: int, passes: int,
+                   interpret: bool):
+    """xf: (n_frames, 128) — the FREE row-major view of the flat stream.
+    Frames are already sublane rows, so the banded matmuls run in native
+    layout with NO in-kernel relayout (the (B, n)-blocked kernel spends
+    ~40% of its time re-tiling lanes into frames)."""
+    nf = xf.shape[0]
+    bmf = block_frames
+    h0hi, h0lo = _split_hi_lo(h0)
+    h1hi, h1lo = _split_hi_lo(h1)
+    hspec = pl.BlockSpec((_F, _F), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_fir_flat_kernel, passes=passes),
+        out_shape=jax.ShapeDtypeStruct((nf, _F), jnp.float32),
+        grid=(pl.cdiv(nf, bmf),),
+        in_specs=[
+            pl.BlockSpec((bmf, _F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # the 8-frame slab ending right before this block (min f32
+            # sublane tile is 8); the kernel uses its last row only
+            pl.BlockSpec((8, _F),
+                         lambda i: (jnp.maximum(i * (bmf // 8) - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            hspec, hspec, hspec, hspec,
+        ],
+        out_specs=pl.BlockSpec((bmf, _F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(xf, xf, h0hi, h0lo, h1hi, h1lo)
+
+
+def fir_batch_pallas_flat(x, taps, *, block_frames: int = 4096,
+                          passes: int = 3, interpret: bool = False):
+    """Causal batch FIR via the flat-stream kernel. Requires
+    (B * n) % 128 == 0 (e.g. the 1000 x 100k benchmark row). The (B, n)
+    array is VIEWED as ((B*n)/128, 128) — a free row-major bitcast — and
+    convolved as one continuous stream; the first taps-1 samples of each
+    row (which wrongly see the previous row's tail) are then patched with
+    a cheap (B, 128) framed-matmul pass."""
+    from njw_tpu.signal.filters import _fir_apply_mxu, _fir_band_matrices
+
+    x = jnp.asarray(x, jnp.float32)
+    b, n = x.shape
+    k = int(np.shape(taps)[0])
+    if (b * n) % _F != 0:
+        raise ValueError("flat kernel needs (B*n) % 128 == 0")
+    if k > _F or n < 2 * _F:
+        raise ValueError("taps must be <= 128 and n >= 256")
+    h0, h1 = _fir_band_matrices(np.asarray(taps))
+    h0j, h1j = jnp.asarray(h0), jnp.asarray(h1)
+    xf = x.reshape(-1, _F)
+    bf = min(block_frames, xf.shape[0])
+    yf = _fir_flat_call(xf, h0j, h1j, bf, passes, interpret)
+    y = yf.reshape(b, n)
+    # patch the per-row heads: zero initial state instead of stream carry
+    head = _fir_apply_mxu(x[:, :_F], h0j, h1j, mode="causal", k=k)
+    return jax.lax.dynamic_update_slice(y, head[:, :k - 1], (0, 0))
+
+
+def fir_batch_pallas(x, taps, *, block_rows: int = 40,
+                     block_frames: int = 128, passes: int = 3,
+                     interpret: bool = False):
+    """Causal FIR over a (B, n) batch, fused single-pass Pallas kernel.
+
+    passes: bf16 matmul passes — 3 (default) is the hi/lo split with
+    ~f32 accuracy; 1 is pure-bf16 (2x less MXU work, ~2e-3 rel error).
+    """
+    from njw_tpu.signal.filters import _fir_band_matrices
+
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("fir_batch_pallas expects (B, n) signals")
+    k = int(np.shape(taps)[0])
+    if k > _F:
+        raise ValueError(f"taps must be <= {_F}")
+    h0, h1 = _fir_band_matrices(np.asarray(taps))
+    bm = min(block_rows, x.shape[0])
+    bf = min(block_frames, pl.cdiv(x.shape[1], _F))
+    return _fir_batch_call(x, jnp.asarray(h0), jnp.asarray(h1),
+                           bm, bf, passes, interpret)

@@ -124,7 +124,7 @@ def build_rows(iters: int):
     x50k = jnp.asarray(rng.standard_normal(50_000).astype(np.float32))
     d50k = jnp.asarray(rng.standard_normal(50_000).astype(np.float32))
     lms = AdaptiveFilter(num_taps=64, method="lms", mu=0.01)
-    rows.append(("lms_64_50k", 2,
+    rows.append(("lms_64_50k", iters,
                  lambda n: probe(lambda x: lms.apply(x, d50k)[1], x50k, n)))
     blms = AdaptiveFilter(num_taps=64, method="block_lms", mu=0.05,
                           block_size=256)

@@ -1,0 +1,73 @@
+"""One-off: sweep fir_batch_pallas block configs on the real TPU.
+
+Usage: python scripts/tune_fir_batch.py bm:frames:passes [more...]
+Timing: in-jit iteration differential, same discipline as
+scripts/measure_signal.py.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    from njw_tpu.signal.filters import design_fir_lowpass
+    from njw_tpu.signal.fir_pallas import fir_batch_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1000, 100_000)).astype(np.float32))
+    taps = design_fir_lowpass(101, 0.25)
+    iters = 8
+
+    from njw_tpu.signal.fir_pallas import fir_batch_pallas_flat
+
+    for spec in sys.argv[1:]:
+        kind, bm, bf, p = spec.split(":")
+        bm, bf, p = int(bm), int(bf), int(p)
+        fn = (fir_batch_pallas if kind == "blk"
+              else fir_batch_pallas_flat)
+
+        @jax.jit
+        def run(n, xx, bm=bm, bf=bf, p=p, fn=fn, kind=kind):
+            def body(i, c):
+                if kind == "blk":
+                    y = fn(xx + c, taps, block_rows=bm, block_frames=bf,
+                           passes=p)
+                else:
+                    y = fn(xx + c, taps, block_frames=bf, passes=p)
+                return jnp.sum(jnp.abs(y[:2, :8])) * jnp.float32(1e-30)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        def once(n):
+            t0 = time.perf_counter()
+            out = run(n, x)
+            float(np.asarray(out))
+            return time.perf_counter() - t0
+
+        try:
+            once(iters)
+            once(2 * iters)
+            t1 = once(iters)
+            t2 = once(2 * iters)
+            ms = max(t2 - t1, 1e-9) / iters * 1e3
+            print(json.dumps({"spec": spec, "ms": round(ms, 3)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"spec": spec, "error": str(e)[:200]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,85 @@ class TestHydrology:
         assert acc[-1, 16] > 10 * acc[-1, 4]
 
 
+def _dijkstra_oracle(cost, source):
+    """Exact D8 shortest path with edge cost hypot*(c_a+c_b)/2."""
+    import heapq
+
+    h, w = cost.shape
+    dist = np.full((h, w), np.inf)
+    dist[source] = 0.0
+    pq = [(0.0, source)]
+    offs = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1),
+            (-1, -1)]
+    while pq:
+        d, (y, x) = heapq.heappop(pq)
+        if d > dist[y, x]:
+            continue
+        for dy, dx in offs:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w:
+                nd = d + np.hypot(dy, dx) * 0.5 * (cost[y, x]
+                                                   + cost[ny, nx])
+                if nd < dist[ny, nx] - 1e-9:
+                    dist[ny, nx] = nd
+                    heapq.heappush(pq, (nd, (ny, nx)))
+    return dist
+
+
+class TestSweepOracles:
+    """The fast-sweeping rewrites must hit the same fixed points as the
+    relaxation definitions (ref: dem_kernels.cu:276-356 and the
+    least-cost capability, dem_processing.hpp:83)."""
+
+    def test_cost_distance_matches_dijkstra(self):
+        rng = np.random.default_rng(12)
+        cost = (0.2 + rng.random((24, 24))).astype(np.float32)
+        cost[5:20, 12] = 25.0  # wall with a detour
+        d = np.asarray(cost_distance(cost, (3, 3), n_iterations=64))
+        ref = _dijkstra_oracle(cost.astype(np.float64), (3, 3))
+        np.testing.assert_allclose(d, ref, rtol=2e-5, atol=1e-4)
+
+    def test_fill_sinks_matches_jacobi_fixed_point(self):
+        dem = synthetic_dem(32, seed=4)
+        dem[8:11, 8:11] -= 25.0  # 3x3 depression
+        eps = 1e-3
+        # NumPy Jacobi oracle: iterate the reference recurrence to fixity
+        z = dem.astype(np.float64)
+        wv = np.full_like(z, 1e30)
+        wv[0, :], wv[-1, :], wv[:, 0], wv[:, -1] = (z[0, :], z[-1, :],
+                                                    z[:, 0], z[:, -1])
+        for _ in range(10000):
+            p = np.pad(wv, 1, constant_values=1e30)
+            mn = np.min([p[1 + dy:1 + dy + 32, 1 + dx:1 + dx + 32]
+                         for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                         if (dy, dx) != (0, 0)], axis=0)
+            new = np.minimum(wv, np.maximum(z, mn + eps))
+            if np.abs(new - wv).max() < eps * 1e-4:
+                wv = new
+                break
+            wv = new
+        filled = np.asarray(fill_sinks(dem, n_iterations=64, epsilon=eps))
+        np.testing.assert_allclose(filled, wv, atol=5e-3)
+
+    def test_flow_accumulation_matches_topological_sum(self):
+        dem = synthetic_dem(24, seed=7)
+        acc = np.asarray(flow_accumulation(dem))
+        fdir = np.asarray(flow_direction(dem))
+        offs = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1),
+                (0, -1), (-1, -1)]
+        # oracle: push in decreasing-elevation order (D8 flows downhill)
+        ref = np.ones((24, 24))
+        order = np.argsort(-dem, axis=None)
+        for flat in order:
+            y, x = divmod(int(flat), 24)
+            d = int(fdir[y, x])
+            if d >= 0:
+                ny, nx = y + offs[d][0], x + offs[d][1]
+                if 0 <= ny < 24 and 0 <= nx < 24:
+                    ref[ny, nx] += ref[y, x]
+        np.testing.assert_allclose(acc, ref, rtol=1e-6)
+
+
 class TestLeastCost:
     def test_cost_distance_prefers_cheap_cells(self):
         cost = np.ones((16, 16), np.float32)

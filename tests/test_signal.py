@@ -143,6 +143,48 @@ class TestFIR:
         ref = np.convolve(x, taps)[:256]
         np.testing.assert_allclose(y, ref, atol=1e-4)
 
+    @pytest.mark.parametrize("shape", [(3, 1000), (9, 4096), (2, 300)])
+    def test_batch_pallas_kernel_matches_oracle(self, shape):
+        """Fused batch-FIR Pallas kernel (interpret mode) vs the NumPy
+        oracle — covers partial final blocks in both grid axes."""
+        from njw_tpu.signal.fir_pallas import fir_batch_pallas
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(shape).astype(np.float32)
+        taps = rng.standard_normal(101).astype(np.float32) * 0.1
+        y = np.asarray(fir_batch_pallas(x, taps, block_rows=8,
+                                        block_frames=4, interpret=True))
+        ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
+        np.testing.assert_allclose(y, ref, atol=2e-4)
+
+    @pytest.mark.parametrize("shape", [(4, 800), (5, 1280)])
+    def test_flat_pallas_kernel_matches_oracle(self, shape):
+        """Flat-stream kernel (free bitcast framing + per-row head patch)
+        vs the NumPy oracle; covers rows NOT aligned to 128 samples."""
+        from njw_tpu.signal.fir_pallas import fir_batch_pallas_flat
+
+        rng = np.random.default_rng(17)
+        x = rng.standard_normal(shape).astype(np.float32)
+        taps = rng.standard_normal(101).astype(np.float32) * 0.1
+        y = np.asarray(fir_batch_pallas_flat(x, taps, block_frames=8,
+                                             interpret=True))
+        ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
+        np.testing.assert_allclose(y, ref, atol=2e-4)
+
+    def test_batch_pallas_single_pass_accuracy(self):
+        """passes=1 (pure bf16) stays within the documented ~2e-3 band."""
+        from njw_tpu.signal.fir_pallas import fir_batch_pallas
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((2, 2048)).astype(np.float32)
+        taps = (np.hanning(64) / np.hanning(64).sum()).astype(np.float32)
+        y = np.asarray(fir_batch_pallas(x, taps, block_rows=8,
+                                        block_frames=8, passes=1,
+                                        interpret=True))
+        ref = np.stack([np.convolve(r, taps)[:2048] for r in x])
+        err = np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9)
+        assert err < 5e-3
+
 
 class TestIIR:
     def test_butterworth_lowpass(self):
@@ -252,6 +294,47 @@ class TestAdaptive:
         tail = np.asarray(e)[-500:]
         assert float((tail ** 2).mean()) < 1e-2
         np.testing.assert_allclose(np.asarray(w), h_true, atol=0.05)
+
+    @pytest.mark.parametrize("method", ["lms", "nlms"])
+    def test_parallel_engine_matches_sequential_scan(self, method):
+        """The compact-WY parallel LMS is the SAME per-sample recurrence
+        (ref semantics, filter_kernels.cu:597-651) — outputs must match
+        the sequential lax.scan to float tolerance."""
+        rng = np.random.default_rng(11)
+        n, taps = 5000, 16
+        x = rng.standard_normal(n).astype(np.float32)
+        h_true = rng.standard_normal(taps).astype(np.float32) * 0.3
+        d = (np.convolve(x, h_true)[:n]
+             + 0.01 * rng.standard_normal(n)).astype(np.float32)
+        mu = 0.01 if method == "lms" else 0.4
+        seq = AdaptiveFilter(num_taps=taps, method=method, mu=mu,
+                             engine="scan")
+        par = AdaptiveFilter(num_taps=taps, method=method, mu=mu,
+                             engine="parallel", chunk=64)
+        ys, es, ws = (np.asarray(a) for a in seq.apply(x, d))
+        yp, ep, wp = (np.asarray(a) for a in par.apply(x, d))
+        scale = float(np.abs(ys).max())
+        np.testing.assert_allclose(yp, ys, atol=2e-4 * scale)
+        np.testing.assert_allclose(ep, es, atol=2e-4 * scale)
+        np.testing.assert_allclose(wp, ws, atol=5e-4)
+
+    def test_parallel_engine_ragged_and_64taps(self):
+        """Ragged n (not a multiple of chunk) + the benchmark shape's
+        64-tap config; zero-padded tail rows must be exact no-ops."""
+        rng = np.random.default_rng(3)
+        n, taps = 1337, 64
+        x = rng.standard_normal(n).astype(np.float32)
+        d = rng.standard_normal(n).astype(np.float32)
+        seq = AdaptiveFilter(num_taps=taps, method="lms", mu=0.005,
+                             engine="scan")
+        par = AdaptiveFilter(num_taps=taps, method="lms", mu=0.005,
+                             engine="parallel", chunk=128)
+        ys, es, ws = (np.asarray(a) for a in seq.apply(x, d))
+        yp, ep, wp = (np.asarray(a) for a in par.apply(x, d))
+        assert yp.shape == (n,)
+        scale = float(np.abs(ys).max())
+        np.testing.assert_allclose(yp, ys, atol=2e-4 * scale)
+        np.testing.assert_allclose(wp, ws, atol=2e-4)
 
 
 class TestMultirate:
