@@ -23,7 +23,12 @@ Convenience API mirrors ref python/medical_imaging/__init__.py:21-138.
 """
 from njw_tpu.medical.image import MedicalImage, load_image, save_image
 from njw_tpu.medical.ct import radon, filtered_backprojection, sirt
-from njw_tpu.medical.mri import reconstruct_kspace, grid_noncartesian
+from njw_tpu.medical.mri import (
+    MRIReconstructor, grid_noncartesian, gridding_reconstruct,
+    pipe_menon_dcf, reconstruct_cg, reconstruct_compressed_sensing,
+    reconstruct_kspace, reconstruct_partial_fourier,
+    reconstruct_primal_dual,
+)
 from njw_tpu.medical.filters import (
     convolve2d, gaussian_filter, median_filter, bilateral_filter,
     nlm_filter, apply_filter,

@@ -189,6 +189,108 @@ def fir_batch_pallas_flat(x, taps, *, block_frames: int = 4096,
     return jax.lax.dynamic_update_slice(y, head[:, :k - 1], (0, 0))
 
 
+def _fir_lanes_kernel(x_ref, tail_ref, hcat_hi_ref, hcat_lo_ref, y_ref, *,
+                      n: int, bw: int, passes: int):
+    """Time-on-LANES variant: no relayout at all. The (bm, bw) block keeps
+    the natural (batch, time) layout; each frame's [prev|cur] 256-lane
+    operand is a free register slice of the block, so the whole band
+    convolution is ONE K=256 MXU matmul per frame per pass (the blocked
+    kernel instead reshapes frames onto sublanes — a full-block relayout
+    that dominates its runtime). The garbage-column mask runs only on the
+    final (partial) grid block."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = x_ref.shape[0]
+    nfb = bw // _F
+
+    xb = x_ref[...]
+    if n % bw != 0:
+        # zero the garbage tail of the partial final block: H's zero band
+        # would otherwise propagate NaN garbage into valid columns
+        def _masked():
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, bw), 1)
+            return jnp.where(col + j * bw < n, xb, 0.0)
+
+        xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
+    tail = jnp.where(j > 0, tail_ref[...], 0.0)
+
+    x_hi, x_lo = _split_hi_lo(xb)
+    t_hi, t_lo = _split_hi_lo(tail)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    hcat_hi = hcat_hi_ref[...]
+    outs = []
+    for f in range(nfb):
+        w = slice((f - 1) * _F, (f + 1) * _F)
+        if f == 0:
+            c_hi = jnp.concatenate([t_hi, x_hi[:, :_F]], axis=1)
+        else:
+            c_hi = x_hi[:, w]
+        y = dot(c_hi, hcat_hi)
+        if passes >= 2:
+            c_lo = (jnp.concatenate([t_lo, x_lo[:, :_F]], axis=1)
+                    if f == 0 else x_lo[:, w])
+            y += dot(c_lo, hcat_hi)
+        if passes >= 3:
+            y += dot(c_hi, hcat_lo_ref[...])
+        outs.append(y)
+    y_ref[...] = jnp.concatenate(outs, axis=1)
+
+
+@partial(jax.jit,
+         static_argnames=("block_rows", "block_frames", "passes",
+                          "interpret"))
+def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
+                    passes: int, interpret: bool):
+    b, n = x.shape
+    bm = block_rows
+    bw = block_frames * _F
+    grid = (pl.cdiv(b, bm), pl.cdiv(n, bw))
+    hcat = jnp.concatenate([h1, h0], axis=0)       # (256, 128): [H1; H0]
+    hcat_hi, hcat_lo = _split_hi_lo(hcat)
+    hspec = pl.BlockSpec((2 * _F, _F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    nfb = block_frames
+    return pl.pallas_call(
+        partial(_fir_lanes_kernel, n=n, bw=bw, passes=passes),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, _F),
+                         lambda i, j: (i, jnp.maximum(j * nfb - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            hspec, hspec,
+        ],
+        out_specs=pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, hcat_hi, hcat_lo)
+
+
+def fir_batch_pallas_lanes(x, taps, *, block_rows: int = 1000,
+                           block_frames: int = 8, passes: int = 3,
+                           interpret: bool = False):
+    """Causal batch FIR, time-on-lanes fused kernel (see
+    _fir_lanes_kernel). Same semantics as fir_batch_pallas."""
+    from njw_tpu.signal.filters import _fir_band_matrices
+
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2:
+        raise ValueError("fir_batch_pallas_lanes expects (B, n) signals")
+    k = int(np.shape(taps)[0])
+    if k > _F:
+        raise ValueError(f"taps must be <= {_F}")
+    h0, h1 = _fir_band_matrices(np.asarray(taps))
+    bm = min(block_rows, x.shape[0])
+    bf = min(block_frames, pl.cdiv(x.shape[1], _F))
+    return _fir_lanes_call(x, jnp.asarray(h0), jnp.asarray(h1),
+                           bm, bf, passes, interpret)
+
+
 def fir_batch_pallas(x, taps, *, block_rows: int = 40,
                      block_frames: int = 128, passes: int = 3,
                      interpret: bool = False):

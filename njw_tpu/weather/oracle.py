@@ -195,11 +195,23 @@ def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0,
     sig_half = (np.arange(L + 1, dtype=F) / F(L))[:, None, None]
     fcor = F(coriolis_f)
 
-    ddx = lambda a: d_dx(a, dx, bc)
-    ddy = lambda a: d_dy(a, dy, bc)
+    reflective = bc == "reflective"
+    bc_s = "clamped" if reflective else bc
+    ddx = lambda a: d_dx(a, dx, bc_s)
+    ddy = lambda a: d_dy(a, dy, bc_s)
+    if reflective:
+        # wall-normal velocity ghosts flip sign (u at x walls, v at y
+        # walls) — including inside the ps*u / ps*v fluxes, matching the
+        # jnp path which flips the PADDED velocity before any product.
+        ddx_n = lambda a: (_shift(a, 1, -1, bc_s, -1.0)
+                           - _shift(a, -1, -1, bc_s, -1.0)) * F(0.5 / dx)
+        ddy_n = lambda a: (_shift(a, 1, -2, bc_s, -1.0)
+                           - _shift(a, -1, -2, bc_s, -1.0)) * F(0.5 / dy)
+    else:
+        ddx_n, ddy_n = ddx, ddy
 
     lnps = np.log(ps)
-    flux_div = ddx(ps * u) + ddy(ps * v)
+    flux_div = ddx_n(ps * u) + ddy_n(ps * v)
     dps = -(flux_div.sum(axis=0)) * dsig
     cum = np.cumsum(flux_div, axis=0) * dsig
     sdot_ps = -sig_half[1:-1] * dps[None] - cum[:-1]
@@ -224,9 +236,9 @@ def pe_tendencies_np(u, v, T, q, ps, *, dx, dy, bc, coriolis_f=0.0,
     phi = np.concatenate([phi_bot[None] + below, phi_bot[None]], axis=0)
 
     lnps_x, lnps_y = ddx(lnps), ddy(lnps)
-    du = (-u * ddx(u) - v * ddy(u) - vadv(u) + fcor * v
+    du = (-u * ddx_n(u) - v * ddy(u) - vadv(u) + fcor * v
           - ddx(phi) - _R_DRY * T * lnps_x)
-    dv = (-u * ddx(v) - v * ddy(v) - vadv(v) - fcor * u
+    dv = (-u * ddx(v) - v * ddy_n(v) - vadv(v) - fcor * u
           - ddy(phi) - _R_DRY * T * lnps_y)
 
     dlnps_adv = dps / ps + u * lnps_x + v * lnps_y

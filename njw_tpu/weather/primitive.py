@@ -174,15 +174,17 @@ def pe_tendencies(s: PEState, grid: GridSpec, params: PhysicsParams,
     (ny, nx) for a terrain lower boundary (None = flat)."""
     from njw_tpu.weather.dynamics import pad_and_shift
 
-    if grid.bc == "reflective":
-        raise NotImplementedError(
-            "reflective BC is implemented for the shallow-water core only "
-            "(the PE velocity ghost sign flips are not wired); use "
-            "'outflow' or 'periodic'")
-
     pad, shift, crop = pad_and_shift(grid.bc, grid.ny, grid.nx)
-    padded = PEState(u=pad(s.u), v=pad(s.v), T=pad(s.T), q=pad(s.q),
-                     ps=pad(s.ps))
+    up, vp = pad(s.u), pad(s.v)
+    if grid.bc == "reflective":
+        # no-flux walls: the wall-NORMAL velocity ghost flips sign (u at
+        # the x walls, v at the y walls), same rule as the SWE core
+        # (dynamics.swe_tendencies; ref BC enum weather_sim.hpp:40-45,
+        # edge behavior weather_simulation.cpp:509-513). Scalars (T, q,
+        # ps) keep the symmetric/clamped ghost from pad_and_shift.
+        up = up.at[..., :, 0].multiply(-1.0).at[..., :, -1].multiply(-1.0)
+        vp = vp.at[..., 0, :].multiply(-1.0).at[..., -1, :].multiply(-1.0)
+    padded = PEState(u=up, v=vp, T=pad(s.T), q=pad(s.q), ps=pad(s.ps))
     phi_sp = pad(jnp.asarray(phi_s, jnp.float32)) if phi_s is not None \
         else None
     return pe_tendencies_from_shifts(padded, shift, grid, params,
@@ -263,6 +265,11 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
             "backend='pallas' does not support orography (the fused stage "
             "kernel has no phi_s input); use backend='auto' or 'xla'")
     stepper_factory = None
+    if config.integration_method == "semi_implicit":
+        from njw_tpu.weather.semi_implicit import semi_implicit_pe
+
+        stepper_factory = lambda t: semi_implicit_pe(
+            t, grid=grid, params=params)
     if config.backend in ("auto", "pallas") and phi_s is None \
             and config.integration_method == "rk4":
         from njw_tpu.ops.pe_stencil import (

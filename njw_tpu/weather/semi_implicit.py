@@ -1,12 +1,14 @@
-"""Semi-implicit (Crank-Nicolson gravity wave) integrator for SWE.
+"""Semi-implicit (Crank-Nicolson gravity wave) integrators: SWE and PE.
 
 Real implementation of the method the reference declares and silently maps
-to Euler (ref: weather_simulation.cpp:465-471). The stiff linearized
+to Euler (ref: weather_simulation.cpp:465-471; declared for ALL models at
+weather_sim.hpp:50-56, implemented for none). The stiff linearized
 gravity-wave terms are treated implicitly with a trapezoidal step and
-eliminated to a single spectral Helmholtz solve for h; advection/Coriolis
-stay explicit. This lifts the CFL limit from the fast gravity-wave speed
-sqrt(g H) to the advective speed — the standard trick in operational NWP
-dynamical cores.
+eliminated to a single spectral Helmholtz solve — scalar for SWE, one
+solve per vertical normal mode for the primitive equations. This lifts the
+CFL limit from the fast gravity-wave speed (sqrt(g H); ~sqrt(R T) for PE
+Lamb/external modes) to the advective speed — the standard trick in
+operational NWP dynamical cores.
 
 Scheme (periodic BC):
     T(s)   = N(s) + L(s)
@@ -75,6 +77,177 @@ def semi_implicit_swe(
             v=jnp.real(jnp.fft.ifft2(v_new_hat)).astype(dtype),
             h=jnp.real(jnp.fft.ifft2(h_new_hat)).astype(dtype),
         )
+        return carry, s_new
+
+    return Stepper(lambda s: (), step, "semi_implicit", 2)
+
+
+# ---------------------------------------------------------------------------
+# Primitive equations: vertical-normal-mode Helmholtz solve.
+#
+# Linearize the hydrostatic PE about a resting isothermal reference state
+# (T_r const, ps_r const, u = v = 0). The fast (gravity/Lamb wave) terms are
+#
+#   du/dt = -d/dx (G T + c ps)          c = R T_r / ps_r   (lnps linearized)
+#   dv/dt = -d/dy (G T + c ps)
+#   dT/dt = kappa T_r M D               D_k = div(u_k)
+#   dps/dt = -ps_r dsig 1^T D
+#
+# where G (L x L) is the discrete hydrostatic-integral matrix (Phi' = G T')
+# and M (L x L) the linearized omega/p response to divergence. Both are
+# extracted NUMERICALLY from the exact code paths in
+# njw_tpu.weather.primitive by applying them to unit vectors, so the
+# implicit operator matches the explicit FD tendencies to rounding.
+#
+# Trapezoidal elimination to the divergence (a = dt/2, spectral space,
+# FD-consistent modified wavenumbers; hats = fft2):
+#
+#   (I - a^2 k^2 A) D' = D* + a k^2 (G T* + c ps* 1),
+#   A = kappa T_r G M - R T_r dsig 1 1^T
+#
+# A's eigenvalues are -g x (equivalent depths) < 0 — the PE analog of the
+# SWE -gH — so (1 - a^2 k^2 lambda) never vanishes. A = V diag(lam) V^-1 is
+# eigendecomposed once at setup (numpy, L <= ~40), making the solve L
+# small matmuls per step: project to mode space, divide, project back.
+# ---------------------------------------------------------------------------
+
+
+def _pe_vertical_matrices(L: int, t_ref: float, ps_ref: float):
+    """G, M, and the coupling matrix A = kappa T_r G M - R T_r dsig 11^T,
+    extracted from the primitive-core code paths applied to unit vectors."""
+    import numpy as np
+
+    from njw_tpu.weather.primitive import (
+        KAPPA, R_DRY, hydrostatic_geopotential, sigma_levels,
+    )
+
+    sig, sig_half = (np.asarray(a, np.float64) for a in sigma_levels(L))
+    dsig = 1.0 / L
+
+    # G: Phi' = G T' (apply the exact hydrostatic integral to unit columns)
+    G = np.zeros((L, L))
+    for j in range(L):
+        e = np.zeros((L, 1, 1), np.float32)
+        e[j] = 1.0
+        G[:, j] = np.asarray(hydrostatic_geopotential(jnp.asarray(e), L))[
+            :, 0, 0]
+
+    # M: dT' = kappa T_r (M D) — linearized sigma-dot / omega-over-p
+    # response, following pe_tendencies_from_shifts lines exactly with
+    # ps = ps_r, flux_div_j = ps_r D_j.
+    M = np.zeros((L, L))
+    for j in range(L):
+        D = np.zeros(L)
+        D[j] = 1.0
+        dps = -ps_ref * dsig * D.sum()                   # scalar
+        cum = np.cumsum(ps_ref * D) * dsig               # (L,)
+        sdot_int = (-sig_half[1:-1] * dps - cum[:-1]) / ps_ref   # (L-1,)
+        sdot_half = np.concatenate([[0.0], sdot_int, [0.0]])
+        sdot_full = 0.5 * (sdot_half[:-1] + sdot_half[1:])
+        dlnps = dps / ps_ref
+        M[:, j] = sdot_full / sig + dlnps
+
+    ones = np.ones((L, L))
+    A = KAPPA * t_ref * (G @ M) - R_DRY * t_ref * dsig * ones
+    lam, V = np.linalg.eig(A)
+    if np.abs(lam.imag).max() > 1e-8 * np.abs(lam.real).max():
+        raise ValueError("PE vertical structure matrix has complex modes")
+    lam, V = lam.real, V.real
+    if lam.max() >= 0:
+        raise ValueError(
+            "PE vertical structure matrix must be negative definite "
+            f"(got max eigenvalue {lam.max():.3g}); the isothermal "
+            "reference state should always satisfy this")
+    return G, M, V, np.linalg.inv(V), lam
+
+
+def semi_implicit_pe(
+    tendency, *, grid: GridSpec, params: PhysicsParams,
+    t_ref: float = 300.0, ps_ref: float = 1013.25,
+) -> Stepper:
+    """Semi-implicit stepper for the primitive-equations core.
+
+    tendency: the FULL nonlinear PE tendency (terrain etc. included — any
+    time-independent forcing lands in the explicit part automatically).
+    t_ref/ps_ref: isothermal reference state; a t_ref >= the domain max
+    temperature is the standard stable choice (ref declares the method at
+    weather_sim.hpp:50-56 and falls back to Euler at
+    weather_simulation.cpp:465-471 — this implements it for real, for the
+    model family the reference doesn't even integrate).
+    """
+    import numpy as np
+
+    from njw_tpu.weather.primitive import KAPPA, R_DRY, PEState
+
+    if grid.bc != "periodic":
+        raise NotImplementedError(
+            "semi-implicit PE requires periodic boundaries "
+            "(spectral Helmholtz solve)")
+    L = grid.levels
+    dsig = 1.0 / L
+    c_ps = R_DRY * t_ref / ps_ref
+
+    G, M, V, Vinv, lam = _pe_vertical_matrices(L, t_ref, ps_ref)
+    Gj = jnp.asarray(G, jnp.float32)
+    Mj = jnp.asarray(M, jnp.float32)
+    Vj = jnp.asarray(V, jnp.float32)
+    Vinvj = jnp.asarray(Vinv, jnp.float32)
+    lamj = jnp.asarray(lam, jnp.float32)
+
+    kx = fd_wavenumbers(grid.nx, grid.dx, "central")[None, :]
+    ky = fd_wavenumbers(grid.ny, grid.dy, "central")[:, None]
+    k2 = kx * kx + ky * ky                      # (ny, nx)
+    ikx = 1j * kx.astype(jnp.complex64)
+    iky = 1j * ky.astype(jnp.complex64)
+
+    def vmat(A, f):                             # (L,L) x (L,ny,nx)
+        return jnp.einsum("kl,lyx->kyx", A, f)
+
+    def linear(s: PEState) -> PEState:
+        """Grid-space linear operator (central FD — matches the spectral
+        solve exactly through the modified wavenumbers)."""
+        from njw_tpu.weather.dynamics import d_dx, d_dy
+
+        ddx = lambda f: d_dx(f, grid.dx, "periodic")
+        ddy = lambda f: d_dy(f, grid.dy, "periodic")
+        P = vmat(Gj, s.T) + c_ps * s.ps[None]
+        D = ddx(s.u) + ddy(s.v)
+        return PEState(
+            u=-ddx(P), v=-ddy(P),
+            T=KAPPA * t_ref * vmat(Mj, D),
+            q=jnp.zeros_like(s.q),
+            ps=-ps_ref * dsig * jnp.sum(D, axis=0),
+        )
+
+    def step(carry, s: PEState, dt):
+        a = 0.5 * dt
+        t_full = tendency(s)
+        l_s = linear(s)
+        nonlinear = jax.tree.map(lambda tf, lf: tf - lf, t_full, l_s)
+        s_star = _axpy(a, l_s, _axpy(dt, nonlinear, s))
+
+        u_h = jnp.fft.fft2(s_star.u)
+        v_h = jnp.fft.fft2(s_star.v)
+        T_h = jnp.fft.fft2(s_star.T)
+        ps_h = jnp.fft.fft2(s_star.ps)
+
+        D_h = ikx * u_h + iky * v_h
+        rhs = D_h + (a * k2) * (vmat(Gj, T_h) + c_ps * ps_h[None])
+        # mode space: divide each vertical mode by its Helmholtz symbol
+        r = vmat(Vinvj, rhs)
+        r = r / (1.0 - (a * a) * k2[None] * lamj[:, None, None])
+        D_new = vmat(Vj, r)
+
+        T_new = T_h + (a * KAPPA * t_ref) * vmat(Mj, D_new)
+        ps_new = ps_h - (a * ps_ref * dsig) * jnp.sum(D_new, axis=0)
+        P_new = vmat(Gj, T_new) + c_ps * ps_new[None]
+        u_new = u_h - a * (ikx * P_new)
+        v_new = v_h - a * (iky * P_new)
+
+        dtype = s.u.dtype
+        inv = lambda f: jnp.real(jnp.fft.ifft2(f)).astype(dtype)
+        s_new = PEState(u=inv(u_new), v=inv(v_new), T=inv(T_new),
+                        q=s_star.q, ps=inv(ps_new))
         return carry, s_new
 
     return Stepper(lambda s: (), step, "semi_implicit", 2)

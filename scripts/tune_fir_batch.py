@@ -31,30 +31,33 @@ def main():
     taps = design_fir_lowpass(101, 0.25)
     iters = 8
 
-    from njw_tpu.signal.fir_pallas import fir_batch_pallas_flat
+    from njw_tpu.signal.fir_pallas import (
+        fir_batch_pallas_flat, fir_batch_pallas_lanes,
+    )
 
     for spec in sys.argv[1:]:
         kind, bm, bf, p = spec.split(":")
         bm, bf, p = int(bm), int(bf), int(p)
-        fn = (fir_batch_pallas if kind == "blk"
-              else fir_batch_pallas_flat)
+        fn = {"blk": fir_batch_pallas, "flat": fir_batch_pallas_flat,
+              "lanes": fir_batch_pallas_lanes}[kind]
 
+        # chain y -> x: each iteration's input is the previous output, so
+        # the loop body is exactly one kernel round-trip (read x, write y)
+        # with no auxiliary HBM traffic and no possibility of hoisting.
         @jax.jit
         def run(n, xx, bm=bm, bf=bf, p=p, fn=fn, kind=kind):
             def body(i, c):
-                if kind == "blk":
-                    y = fn(xx + c, taps, block_rows=bm, block_frames=bf,
-                           passes=p)
-                else:
-                    y = fn(xx + c, taps, block_frames=bf, passes=p)
-                return jnp.sum(jnp.abs(y[:2, :8])) * jnp.float32(1e-30)
+                if kind == "flat":
+                    return fn(c, taps, block_frames=bf, passes=p)
+                return fn(c, taps, block_rows=bm, block_frames=bf,
+                          passes=p)
 
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, xx)
 
         def once(n):
             t0 = time.perf_counter()
             out = run(n, x)
-            float(np.asarray(out))
+            float(np.asarray(out[:2, :2]).sum())
             return time.perf_counter() - t0
 
         try:

@@ -98,6 +98,144 @@ class TestMRI:
         assert cc > 0.8
 
 
+class TestMRIAdvanced:
+    """CG-SENSE / primal-dual / CS / partial-Fourier / KB gridding —
+    the MRIReconstructor surface (ref: medical_imaging.hpp:696-787)."""
+
+    @staticmethod
+    def _kspace(n=64):
+        img = phantom(n)
+        k = np.fft.fftshift(np.fft.fft2(img, norm="ortho"))
+        return img, k.astype(np.complex64)
+
+    @staticmethod
+    def _mask(n=64, r=2, center=6):
+        m = np.zeros((n, n), np.float32)
+        m[::r, :] = 1.0
+        m[n // 2 - center:n // 2 + center, :] = 1.0
+        return m
+
+    def test_cg_fully_sampled_matches_fft(self):
+        """With full sampling, CG converges to the plain inverse FFT."""
+        from njw_tpu.medical import reconstruct_cg
+
+        img, k = self._kspace()
+        rec = np.asarray(reconstruct_cg(k, np.ones((64, 64), np.float32),
+                                        num_iterations=5))
+        np.testing.assert_allclose(rec, img, atol=1e-3)
+
+    def test_cg_sense_beats_zero_filled(self):
+        """2x undersampled, 4 coils with distinct sensitivities: CG-SENSE
+        must beat the zero-filled recon by a clear margin."""
+        from njw_tpu.medical import reconstruct_cg
+
+        img, _ = self._kspace()
+        n = 64
+        yy, xx = np.mgrid[0:n, 0:n] / (n - 1)
+        sens = np.stack([
+            np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 0.35)
+            for cy, cx in [(0, 0), (0, 1), (1, 0), (1, 1)]
+        ]).astype(np.complex64)
+        sens /= np.sqrt((np.abs(sens) ** 2).sum(0, keepdims=True))
+        mask = self._mask(r=2)
+        k = mask[None] * np.fft.fftshift(
+            np.fft.fft2(sens * img[None], norm="ortho"), axes=(-2, -1))
+        rec = np.asarray(reconstruct_cg(k, mask, sens, num_iterations=15))
+        zf = np.abs((np.conj(sens) * np.fft.ifft2(
+            np.fft.ifftshift(k, axes=(-2, -1)), norm="ortho")).sum(0))
+        err_cg = np.abs(rec - img).mean()
+        err_zf = np.abs(zf - img).mean()
+        assert err_cg < 0.5 * err_zf
+
+    def test_primal_dual_denoises_undersampled(self):
+        from njw_tpu.medical import reconstruct_primal_dual
+
+        img, k = self._kspace()
+        mask = self._mask(r=3)
+        ku = mask * k
+        rec = np.asarray(reconstruct_primal_dual(ku, mask,
+                                                 num_iterations=80,
+                                                 tv_weight=0.02))
+        zf = np.abs(np.fft.ifft2(np.fft.ifftshift(ku), norm="ortho"))
+        assert np.abs(rec - img).mean() < 0.7 * np.abs(zf - img).mean()
+
+    def test_compressed_sensing_improves_on_zero_fill(self):
+        from njw_tpu.medical import reconstruct_compressed_sensing
+
+        img, k = self._kspace()
+        rng = np.random.default_rng(3)
+        mask = (rng.random((64, 64)) < 0.35).astype(np.float32)
+        mask[28:36, :] = 1.0
+        ku = mask * k
+        rec = np.asarray(reconstruct_compressed_sensing(
+            ku, mask, num_iterations=40, lam=0.01))
+        zf = np.abs(np.fft.ifft2(np.fft.ifftshift(ku), norm="ortho"))
+        assert np.abs(rec - img).mean() < 0.8 * np.abs(zf - img).mean()
+
+    def test_partial_fourier_homodyne(self):
+        """5/8 partial Fourier of a (real, smooth-phase) phantom: homodyne
+        must beat zero-filled recon of the same data."""
+        from njw_tpu.medical import reconstruct_partial_fourier
+
+        n = 64
+        img = phantom(n)
+        yy, xx = np.mgrid[0:n, 0:n] / (n - 1)
+        phase = np.exp(1j * (0.6 * yy + 0.4 * xx))  # slowly varying
+        k = np.fft.fftshift(np.fft.fft2(img * phase, norm="ortho"))
+        frac = 5 / 8
+        kpf = k.copy()
+        kpf[int(frac * n):, :] = 0.0
+        rec = np.asarray(reconstruct_partial_fourier(kpf, frac))
+        zf = np.abs(np.fft.ifft2(np.fft.ifftshift(kpf), norm="ortho"))
+        assert np.abs(rec - img).mean() < 0.7 * np.abs(zf - img).mean()
+
+    def test_kb_gridding_radial_beats_bilinear(self):
+        """Radial trajectory: KB gridding + Pipe-Menon DCF + deapodization
+        must out-reconstruct the nearest/bilinear-bin path."""
+        from njw_tpu.medical import grid_noncartesian, gridding_reconstruct
+
+        n = 32
+        img = phantom(n)
+        n_spokes, n_read = 96, 64
+        ang = np.pi * np.arange(n_spokes) / n_spokes
+        rad = (np.arange(n_read) - n_read / 2) / n_read  # [-0.5, 0.5)
+        ky = (rad[None, :] * np.sin(ang[:, None])).ravel()
+        kx = (rad[None, :] * np.cos(ang[:, None])).ravel()
+        coords = np.stack([ky, kx], 1).astype(np.float32)
+        # sample the DFT at the radial points (exact, small n)
+        y_idx, x_idx = np.mgrid[0:n, 0:n]
+        phase = np.exp(-2j * np.pi * (
+            coords[:, 0:1] * (y_idx.ravel() - n // 2)[None]
+            + coords[:, 1:2] * (x_idx.ravel() - n // 2)[None]))
+        samples = (phase @ img.ravel().astype(np.complex64)) / n
+        rec_kb = np.asarray(gridding_reconstruct(samples, coords, n))
+        # grid_noncartesian uses corner-phase convention: convert
+        corner = samples * np.exp(-2j * np.pi * (n // 2)
+                                  * (coords[:, 0] + coords[:, 1]))
+        rec_bl = np.asarray(grid_noncartesian(corner, coords, n))
+        cc = lambda a: np.corrcoef(a.ravel(), img.ravel())[0, 1]
+        assert cc(rec_kb) > cc(rec_bl)
+        assert cc(rec_kb) > 0.93
+
+    def test_reconstructor_facade(self):
+        from njw_tpu.medical import MRIReconstructor
+
+        img, k = self._kspace()
+        r = MRIReconstructor(method="fft")
+        k_back = np.fft.fftshift(np.fft.fft2(img))  # backward-norm conv.
+        np.testing.assert_allclose(np.asarray(r.process(k_back)), img,
+                                   atol=1e-3)
+        r = MRIReconstructor(method="cg_sense", num_iterations=5,
+                             acceleration_factor=2)
+        mask = r.undersampling_mask(64, 64)
+        rec = r.process(np.asarray(mask) * k, mask)
+        assert np.isfinite(np.asarray(rec)).all()
+        with pytest.raises(NotImplementedError):
+            MRIReconstructor(method="deep_learning").process(k)
+        with pytest.raises(ValueError):
+            MRIReconstructor(method="bogus").process(k)
+
+
 class TestFilters:
     def test_gaussian_smooths(self):
         rng = np.random.default_rng(0)

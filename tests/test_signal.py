@@ -171,6 +171,21 @@ class TestFIR:
         ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
         np.testing.assert_allclose(y, ref, atol=2e-4)
 
+    @pytest.mark.parametrize("shape", [(3, 1000), (9, 4096), (2, 300)])
+    def test_lanes_pallas_kernel_matches_oracle(self, shape):
+        """Time-on-lanes kernel (no relayout) vs the NumPy oracle —
+        covers partial final blocks in both grid axes."""
+        from njw_tpu.signal.fir_pallas import fir_batch_pallas_lanes
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(shape).astype(np.float32)
+        taps = rng.standard_normal(101).astype(np.float32) * 0.1
+        y = np.asarray(fir_batch_pallas_lanes(x, taps, block_rows=8,
+                                              block_frames=4,
+                                              interpret=True))
+        ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
+        np.testing.assert_allclose(y, ref, atol=2e-4)
+
     def test_batch_pallas_single_pass_accuracy(self):
         """passes=1 (pure bf16) stays within the documented ~2e-3 band."""
         from njw_tpu.signal.fir_pallas import fir_batch_pallas
