@@ -7,13 +7,20 @@ realtime_dashboard.py:1-1461) as JSON endpoints rendered by the static
 canvas client.
 
 Endpoints:
-  /api/results            benchmark results (typed BenchmarkResult rows)
+  /api/results            benchmark results (typed BenchmarkResultRow —
+                          schema shared with proto/dashboard.proto via
+                          njw_tpu.dashboard.schema)
   /api/workloads          distinct workload names
+  /api/cluster            device/cluster overview + per-workload summary
+                          (ref: ClusterOverview.tsx:1-175)
+  /api/history            throughput-over-run-history series per workload
+                          (ref: PerformanceChart.tsx:1-164)
+  /api/schema             the parsed proto schema (for typed consumers)
   /api/stream             SSE live events (benchmark + geo-financial)
   /api/geofin/portfolio   asset table + per-asset risk + totals
   /api/geofin/riskmap     rasterized risk surface + asset overlay
   /api/geofin/scenarios   scenario losses / VaR / worst case
-  /, /geofin              static UI pages
+  /, /cluster, /perf, /geofin   static UI pages
 """
 from __future__ import annotations
 
@@ -50,8 +57,62 @@ class DashboardServer:
     def _load(self) -> list:
         if not os.path.exists(self.results_path):
             return []
+        from njw_tpu.dashboard.schema import normalize_row
+
         with open(self.results_path) as fh:
-            return json.load(fh)
+            return [normalize_row(r) for r in json.load(fh)]
+
+    def _cluster_view(self) -> dict:
+        """Device + per-workload summary (ref: ClusterOverview.tsx:1-175,
+        fed there by socket.io node status; here by platform detection +
+        the results history)."""
+        from njw_tpu.platform.device import get_device_info
+
+        rows = self._load()
+        by_wl: dict[str, list] = {}
+        for r in rows:
+            by_wl.setdefault(r["workload"], []).append(r)
+        summaries = []
+        for wl in sorted(by_wl):
+            rs = sorted(by_wl[wl], key=lambda r: r["timestamp"])
+            best = max(rs, key=lambda r: r["throughput"])
+            summaries.append({
+                "workload": wl,
+                "runs": len(rs),
+                "best_throughput": best["throughput"],
+                "throughput_unit": best["throughput_unit"],
+                "last_timestamp": rs[-1]["timestamp"],
+            })
+        info = get_device_info()
+        return {
+            "platform": info["platform"],
+            "generation": info["generation"],
+            "num_devices": info["num_devices"],
+            "hbm_gb": info["hbm_gb"],
+            "hbm_bandwidth_gbps": info["hbm_bandwidth_gbps"],
+            "peak_bf16_tflops": info["peak_bf16_tflops"],
+            "total_runs": len(rows),
+            "workloads": summaries,
+        }
+
+    def _history_view(self) -> list:
+        """Throughput over run history, one series per workload
+        (ref: PerformanceChart.tsx:1-164)."""
+        rows = self._load()
+        by_wl: dict[str, list] = {}
+        for r in rows:
+            by_wl.setdefault(r["workload"], []).append(r)
+        series = []
+        for wl in sorted(by_wl):
+            rs = sorted(by_wl[wl], key=lambda r: r["timestamp"])
+            series.append({
+                "workload": wl,
+                "throughput_unit": rs[0]["throughput_unit"],
+                "points": [{"timestamp": r["timestamp"],
+                            "throughput": r["throughput"],
+                            "device": r["device"]} for r in rs],
+            })
+        return series
 
     def _handler(self):
         server = self
@@ -114,6 +175,20 @@ class DashboardServer:
                 elif route == "/api/workloads":
                     rows = server._load()
                     self._json(sorted({r["workload"] for r in rows}))
+                elif route == "/api/cluster":
+                    self._json(server._cluster_view())
+                elif route == "/api/history":
+                    self._json(server._history_view())
+                elif route == "/api/schema":
+                    from njw_tpu.dashboard.schema import (
+                        parse_proto_messages,
+                    )
+
+                    self._json({
+                        m: {f: {"type": t, "repeated": rep}
+                            for f, (t, rep) in fields.items()}
+                        for m, fields in parse_proto_messages().items()
+                    })
                 elif route == "/api/stream":
                     self._sse()
                 elif route.startswith("/api/geofin/"):
@@ -133,6 +208,10 @@ class DashboardServer:
                         self._json({"error": "not found"}, 404)
                 elif route in ("/", "/index.html"):
                     self._static("index.html")
+                elif route in ("/cluster", "/cluster.html"):
+                    self._static("cluster.html")
+                elif route in ("/perf", "/perf.html"):
+                    self._static("perf.html")
                 elif route in ("/geofin", "/geofin.html"):
                     self._static("geofin.html")
                 else:

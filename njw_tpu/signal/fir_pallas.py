@@ -214,6 +214,21 @@ def _fir_lanes_kernel(x_ref, tail_ref, hcat_hi_ref, hcat_lo_ref, y_ref, *,
         xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
     tail = jnp.where(j > 0, tail_ref[...], 0.0)
 
+    if passes == 0:
+        # f32 operands, HIGHEST precision: Mosaic performs the multi-pass
+        # bf16 decomposition inside the MXU pipeline (no explicit VPU
+        # converts in the kernel body).
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        hcat = hcat_hi_ref[...]
+        outs = []
+        for f in range(nfb):
+            c = (jnp.concatenate([tail, xb[:, :_F]], axis=1) if f == 0
+                 else xb[:, (f - 1) * _F:(f + 1) * _F])
+            outs.append(dot(c, hcat))
+        y_ref[...] = jnp.concatenate(outs, axis=1)
+        return
+
     x_hi, x_lo = _split_hi_lo(xb)
     t_hi, t_lo = _split_hi_lo(tail)
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -247,7 +262,10 @@ def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
     bw = block_frames * _F
     grid = (pl.cdiv(b, bm), pl.cdiv(n, bw))
     hcat = jnp.concatenate([h1, h0], axis=0)       # (256, 128): [H1; H0]
-    hcat_hi, hcat_lo = _split_hi_lo(hcat)
+    if passes == 0:
+        hcat_hi, hcat_lo = hcat, hcat              # f32, used directly
+    else:
+        hcat_hi, hcat_lo = _split_hi_lo(hcat)
     hspec = pl.BlockSpec((2 * _F, _F), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
     nfb = block_frames

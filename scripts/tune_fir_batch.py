@@ -63,10 +63,14 @@ def main():
         try:
             once(iters)
             once(2 * iters)
-            t1 = once(iters)
-            t2 = once(2 * iters)
-            ms = max(t2 - t1, 1e-9) / iters * 1e3
-            print(json.dumps({"spec": spec, "ms": round(ms, 3)}), flush=True)
+            vals = []
+            for _ in range(4):
+                t1 = once(iters)
+                t2 = once(2 * iters)
+                vals.append(max(t2 - t1, 1e-9) / iters * 1e3)
+            print(json.dumps({"spec": spec, "ms": round(min(vals), 3),
+                              "all": [round(v, 3) for v in vals]}),
+                  flush=True)
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"spec": spec, "error": str(e)[:200]}),
                   flush=True)

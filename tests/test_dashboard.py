@@ -41,6 +41,71 @@ def test_api_workloads(server):
     assert json.loads(body) == ["weather"]
 
 
+def test_api_cluster(server):
+    """Cluster overview (ref: ClusterOverview.tsx role): device info +
+    per-workload summaries derived from the results history."""
+    _, body = _get(server.url + "/api/cluster")
+    c = json.loads(body)
+    assert c["platform"] in ("cpu", "tpu", "gpu")
+    assert c["num_devices"] >= 1
+    assert c["total_runs"] == 1
+    (wl,) = c["workloads"]
+    assert wl["workload"] == "weather"
+    assert wl["runs"] == 1
+    assert wl["best_throughput"] == 5e9
+
+
+def test_api_history(server):
+    """Per-workload throughput time series (ref: PerformanceChart.tsx
+    role), sorted by timestamp."""
+    _, body = _get(server.url + "/api/history")
+    series = json.loads(body)
+    (s,) = series
+    assert s["workload"] == "weather"
+    assert [p["throughput"] for p in s["points"]] == [5e9]
+    ts = [p["timestamp"] for p in s["points"]]
+    assert ts == sorted(ts)
+
+
+def test_api_schema_matches_python_dataclass(server):
+    """The served schema comes from proto/dashboard.proto and must agree
+    field-for-field with bench.suite.BenchmarkResult (no silent drift)."""
+    from njw_tpu.dashboard.schema import check_result_schema
+
+    check_result_schema()
+    _, body = _get(server.url + "/api/schema")
+    schema = json.loads(body)
+    assert "BenchmarkResultRow" in schema
+    assert schema["BenchmarkResultRow"]["throughput"]["type"] == "double"
+    assert "ClusterInfo" in schema and "HistorySeries" in schema
+
+
+def test_rows_are_normalized(tmp_path):
+    """Rows missing optional fields are coerced to the typed schema."""
+    path = tmp_path / "r.json"
+    path.write_text(json.dumps([{
+        "workload": "x", "device": "cpu", "execution_time_s": 1,
+        "throughput": 2, "throughput_unit": "u",
+        "timestamp": "2026-01-01T00:00:00"}]))
+    srv = DashboardServer(str(path), port=0).start()
+    try:
+        _, body = _get(srv.url + "/api/results")
+        (row,) = json.loads(body)
+        assert row["memory_bytes"] == 0
+        assert row["additional_metrics"] == {}
+        assert isinstance(row["throughput"], float)
+    finally:
+        srv.stop()
+
+
+def test_cluster_and_perf_pages_served(server):
+    for page, marker in (("/cluster", b"cluster overview"),
+                         ("/perf", b"throughput over run history")):
+        status, body = _get(server.url + page)
+        assert status == 200
+        assert marker in body
+
+
 def test_index_served(server):
     status, body = _get(server.url + "/")
     assert status == 200

@@ -101,3 +101,76 @@ class TestGeoFinancialViz:
                   "scenarios.png", "returns.png", "index.html"):
             assert os.path.exists(tmp_path / f), f
         assert "expected loss" in open(page).read()
+
+    def test_scenario_visualizer(self, tmp_path):
+        """ScenarioVisualizer surface (ref: scenario_analysis.py:1034):
+        comparison / sensitivity / stress / dashboard views render."""
+        import os
+
+        from njw_tpu.geofinancial.geo_risk import (
+            GeospatialRiskModel, create_elevation_risk_factor,
+            create_flood_risk_factor,
+        )
+        from njw_tpu.geofinancial.scenarios import (
+            ScenarioAnalyzer, create_climate_scenarios,
+            create_stress_scenarios,
+        )
+        from njw_tpu.geofinancial.testdata import (
+            generate_assets, generate_dem,
+        )
+        from njw_tpu.viz.geofinancial import ScenarioVisualizer
+
+        dem = generate_dem(64, seed=5)
+        model = GeospatialRiskModel([
+            create_flood_risk_factor(dem),
+            create_elevation_risk_factor(dem, weight=0.5),
+        ])
+        port = generate_assets(20, extent=64.0, seed=5)
+        viz = ScenarioVisualizer(ScenarioAnalyzer(port, model))
+        sset = create_climate_scenarios()
+        outs = [
+            viz.plot_scenario_comparison(sset, str(tmp_path / "cmp.png")),
+            viz.plot_sensitivity_analysis(str(tmp_path / "sens.png")),
+            viz.plot_stress_test_results(
+                create_stress_scenarios(), str(tmp_path / "stress.png"),
+                baseline=sset.scenarios[0]),
+            viz.create_scenario_dashboard(sset,
+                                          str(tmp_path / "dash.png")),
+        ]
+        for p in outs:
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+    def test_multi_region_visualizer(self, tmp_path):
+        """MultiRegionVisualizer surface (ref: multiregion_analysis.py:964):
+        risk map / comparison / correlation / allocation / dashboard."""
+        import os
+
+        from njw_tpu.geofinancial.geo_risk import (
+            GeospatialRiskModel, create_flood_risk_factor,
+        )
+        from njw_tpu.geofinancial.multiregion import (
+            MultiRegionRiskModel, make_region_grid,
+        )
+        from njw_tpu.geofinancial.testdata import (
+            generate_assets, generate_dem,
+        )
+        from njw_tpu.viz.geofinancial import MultiRegionVisualizer
+
+        dem = generate_dem(64, seed=7)
+        port = generate_assets(30, extent=64.0, seed=7)
+        mr = MultiRegionRiskModel()
+        for region in make_region_grid(0, 64, 0, 64, 2, 2):
+            mr.add_region(region, GeospatialRiskModel(
+                [create_flood_risk_factor(dem)]))
+        viz = MultiRegionVisualizer(mr)
+        outs = [
+            viz.plot_multi_region_risk_map(port, str(tmp_path / "m.png")),
+            viz.plot_region_risk_comparison(port, str(tmp_path / "c.png")),
+            viz.plot_risk_correlation_matrix(port,
+                                             str(tmp_path / "r.png")),
+            viz.plot_recommended_allocation(port, str(tmp_path / "a.png")),
+            viz.create_multi_region_dashboard(port,
+                                              str(tmp_path / "d.png")),
+        ]
+        for p in outs:
+            assert os.path.exists(p) and os.path.getsize(p) > 1000
