@@ -14,6 +14,6 @@ from njw_tpu.bench.suite import (
 from njw_tpu.bench.cost import (
     ComputeEnvironment, CostModel, OnPremTPUCostModel, CloudTPUCostModel,
     CloudGPUCostModel, SlurmClusterCostModel, CostModelFactory,
-    compare_costs,
+    compare_costs, load_cost_model,
 )
 from njw_tpu.bench.report import generate_report

@@ -17,6 +17,9 @@ def main(argv=None) -> int:
     p.add_argument("--cost", default=None,
                    choices=["on_prem_tpu", "cloud_tpu", "cloud_gpu",
                             "slurm_cluster", "local_cpu"])
+    p.add_argument("--cost-config", default=None, metavar="YAML",
+                   help="cost-model config file (see configs/*.yaml); "
+                        "overrides --cost")
     p.add_argument("--output-dir", default="./benchmark_results")
     p.add_argument("--report", action="store_true")
     args = p.parse_args(argv)
@@ -26,7 +29,13 @@ def main(argv=None) -> int:
     suite = BenchmarkSuite(output_dir=args.output_dir)
     names = (list(suite.registry) if args.all
              else (args.workloads or ["weather"]))
-    cost_model = CostModelFactory.create(args.cost) if args.cost else None
+    if args.cost_config:
+        from njw_tpu.bench.cost import load_cost_model
+
+        cost_model = load_cost_model(args.cost_config)
+    else:
+        cost_model = (CostModelFactory.create(args.cost)
+                      if args.cost else None)
     params = json.loads(args.params)
 
     for name in names:

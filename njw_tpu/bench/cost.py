@@ -208,3 +208,34 @@ def break_even_hours(a: CostModel, b: CostModel) -> Optional[float]:
     if d_fixed <= 0.0 or d_rate <= 0.0:
         return None
     return d_fixed / d_rate
+
+
+def load_cost_model(path: str, **overrides) -> CostModel:
+    """Build a cost model from a shipped YAML/JSON config (configs/*.yaml;
+    ref ships the same set at benchmark/configs/slurm_cluster_jetson.yaml:8-28
+    + siblings). The file holds `environment:` plus the model's dataclass
+    fields; unknown keys raise."""
+    import dataclasses
+
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        with open(path) as fh:
+            data = yaml.safe_load(fh) or {}
+    else:
+        import json
+
+        with open(path) as fh:
+            data = json.load(fh)
+    data.update(overrides)
+    env = data.pop("environment", None)
+    if env is None:
+        raise ValueError(f"{path}: missing 'environment' key "
+                         f"(one of {CostModelFactory.available()})")
+    cls = CostModelFactory._MODELS[ComputeEnvironment(env)]
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(data) - names
+    if unknown:
+        raise ValueError(f"{path}: unknown keys for {cls.__name__}: "
+                         f"{sorted(unknown)}")
+    return cls(**data)

@@ -50,6 +50,65 @@ class TestCostModels:
         with pytest.raises(ValueError):
             CostModelFactory.create("mainframe")
 
+    def test_shipped_configs_all_load(self):
+        """Every configs/*.yaml builds a working cost model (ref ships
+        the same set: benchmark/configs/slurm_cluster_jetson.yaml + 7
+        siblings — round-1/2 gap)."""
+        import glob
+        import os
+
+        from njw_tpu.bench import load_cost_model
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs")
+        paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+        assert len(paths) >= 6
+        envs = set()
+        for p in paths:
+            m = load_cost_model(p)
+            assert m.hourly_rate() >= 0
+            assert m.cost_of(3600.0)["execution_cost"] >= 0
+            envs.add(type(m).__name__)
+        assert len(envs) >= 4  # covers most model families
+
+    def test_load_cost_model_overrides_and_unknown_keys(self, tmp_path):
+        from njw_tpu.bench import load_cost_model
+
+        p = tmp_path / "c.yaml"
+        p.write_text("environment: cloud_tpu\nchips: 4\n"
+                     "rate_per_chip_hour: 2.0\n")
+        m = load_cost_model(str(p), chips=8)
+        assert m.hourly_rate() == pytest.approx(16.0)
+        p.write_text("environment: cloud_tpu\nbogus_key: 1\n")
+        with pytest.raises(ValueError, match="bogus_key"):
+            load_cost_model(str(p))
+        p.write_text("chips: 4\n")
+        with pytest.raises(ValueError, match="environment"):
+            load_cost_model(str(p))
+
+    def test_cli_cost_config_roundtrip(self, tmp_path):
+        """python -m njw_tpu.bench --cost-config <shipped yaml> attaches
+        the configured cost metrics to the result rows."""
+        import json
+        import os
+
+        from njw_tpu.bench.__main__ import main
+
+        cfg = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "cloud_tpu_v5e.yaml")
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(["--workloads", "signal", "--cost-config", cfg,
+                       "--params",
+                       '{"signal": {"num_samples": 4096, "batch": 2}}',
+                       "--output-dir", str(tmp_path)])
+        assert rc == 0
+        row = json.loads(buf.getvalue().splitlines()[0])
+        assert row["cost_metrics"]["hourly_rate"] == pytest.approx(1.20)
+
     def test_compare_costs(self):
         out = compare_costs({
             ComputeEnvironment.ON_PREM_TPU: 100.0,
