@@ -3,6 +3,10 @@
 gpu_benchmark.py flow): phantom -> sinogram -> FBP + SIRT comparison."""
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
 
 import numpy as np
 

@@ -8,6 +8,10 @@ vortex, save plots + animation.
 """
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import os
 
 
 def main():

@@ -60,18 +60,28 @@ def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
 def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
                    u_o, v_o, h_o, *, dt: float, gravity: float,
                    coriolis_f: float, dx: float, dy: float, by: int,
-                   x_halo: int = 0):
+                   x_halo: int = 0, variant: str = "base",
+                   viscosity: float = 0.0):
     """One grid step: fused RK4 over a (by, w) strip with 4-row y halos.
 
     x_halo=0: x is the whole (periodic) domain width — lane rolls wrap
     correctly. x_halo=128: the strip carries 128-lane x halo slabs from
     the x-neighbors (2-D decomposition); rolls still wrap the padded
     width, the outer lanes go stale by one per stage (4 stages << 128)
-    and the output crops to the interior columns."""
+    and the output crops to the interior columns.
+
+    variant: 'base' | 'folded' (fold cx/cy into per-field products and
+    g*cx/g*cy at trace time — 3 fewer VPU mults per point per stage) |
+    'bf16' (advection differences in bf16, f32 combine — halves register
+    traffic at ~4e-3 relative error per step; opt-in, measured either way
+    per ROADMAP). viscosity != 0 adds the 5-point Laplacian on u, v
+    (2 extra rolls per field per stage).
+    """
     cx = 0.5 / dx
     cy = 0.5 / dy
     g = gravity
     f = coriolis_f
+    nu = viscosity
     h4 = HALO
 
     def pad(c, t, b):
@@ -89,7 +99,17 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
     def sy(a, s):  # y shift inside the strip; edge rows become invalid
         return pltpu.roll(a, (-s) % a.shape[0], 0)
 
-    def tendency(uu, vv, hh):
+    def visc(uu, vv, du, dv):
+        if not nu:
+            return du, dv
+        ix2, iy2 = nu / (dx * dx), nu / (dy * dy)
+        du = du + (sx(uu, 1) + sx(uu, -1) - 2.0 * uu) * ix2 \
+            + (sy(uu, 1) + sy(uu, -1) - 2.0 * uu) * iy2
+        dv = dv + (sx(vv, 1) + sx(vv, -1) - 2.0 * vv) * ix2 \
+            + (sy(vv, 1) + sy(vv, -1) - 2.0 * vv) * iy2
+        return du, dv
+
+    def tendency_base(uu, vv, hh):
         u_x = (sx(uu, 1) - sx(uu, -1)) * cx
         u_y = (sy(uu, 1) - sy(uu, -1)) * cy
         v_x = (sx(vv, 1) - sx(vv, -1)) * cx
@@ -99,7 +119,45 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
         du = -uu * u_x - vv * u_y - g * h_x + f * vv
         dv = -uu * v_x - vv * v_y - g * h_y - f * uu
         dh = -hh * (u_x + v_y) - uu * h_x - vv * h_y
-        return du, dv, dh
+        return visc(uu, vv, du, dv) + (dh,)
+
+    def tendency_folded(uu, vv, hh):
+        # fold cx/cy into the advecting fields (4 mults) instead of into
+        # every difference (6 mults), and g*cx / g*cy into constants.
+        dxu = sx(uu, 1) - sx(uu, -1)
+        dyu = sy(uu, 1) - sy(uu, -1)
+        dxv = sx(vv, 1) - sx(vv, -1)
+        dyv = sy(vv, 1) - sy(vv, -1)
+        dxh = sx(hh, 1) - sx(hh, -1)
+        dyh = sy(hh, 1) - sy(hh, -1)
+        ucx = uu * cx
+        vcy = vv * cy
+        hcx = hh * cx
+        hcy = hh * cy
+        du = -ucx * dxu - vcy * dyu - (g * cx) * dxh + f * vv
+        dv = -ucx * dxv - vcy * dyv - (g * cy) * dyh - f * uu
+        dh = -hcx * dxu - hcy * dyv - ucx * dxh - vcy * dyh
+        return visc(uu, vv, du, dv) + (dh,)
+
+    def tendency_bf16(uu, vv, hh):
+        ub = uu.astype(jnp.bfloat16)
+        vb = vv.astype(jnp.bfloat16)
+        hb = hh.astype(jnp.bfloat16)
+        u_x = ((sx(ub, 1) - sx(ub, -1)) * jnp.bfloat16(cx))
+        u_y = ((sy(ub, 1) - sy(ub, -1)) * jnp.bfloat16(cy))
+        v_x = ((sx(vb, 1) - sx(vb, -1)) * jnp.bfloat16(cx))
+        v_y = ((sy(vb, 1) - sy(vb, -1)) * jnp.bfloat16(cy))
+        h_x = ((sx(hb, 1) - sx(hb, -1)) * jnp.bfloat16(cx))
+        h_y = ((sy(hb, 1) - sy(hb, -1)) * jnp.bfloat16(cy))
+        du = (-ub * u_x - vb * u_y).astype(jnp.float32) \
+            - g * h_x.astype(jnp.float32) + f * vv
+        dv = (-ub * v_x - vb * v_y).astype(jnp.float32) \
+            - g * h_y.astype(jnp.float32) - f * uu
+        dh = (-hb * (u_x + v_y) - ub * h_x - vb * h_y).astype(jnp.float32)
+        return visc(uu, vv, du, dv) + (dh,)
+
+    tendency = {"base": tendency_base, "folded": tendency_folded,
+                "bf16": tendency_bf16}[variant]
 
     half = 0.5 * dt
     # Accumulator form of s' = (-s + s1 + 2 s2 + s3)/3 + (dt/6) T(s3):
@@ -134,11 +192,13 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "dt", "gravity", "coriolis_f", "by", "interpret"),
+    static_argnames=("grid", "dt", "gravity", "coriolis_f", "by", "interpret",
+                     "variant", "viscosity"),
 )
 def swe_rk4_step_pallas(
     u, v, h, *, grid: GridSpec, dt: float, gravity: float = 9.81,
     coriolis_f: float = 0.0, by: Optional[int] = None, interpret: bool = False,
+    variant: str = "base", viscosity: float = 0.0,
 ):
     """One fused RK4 SWE step on (ny, nx) f32 fields. See module docstring."""
     ny, nx = grid.ny, grid.nx
@@ -155,7 +215,7 @@ def swe_rk4_step_pallas(
     kern = functools.partial(
         swe_rk4_kernel, dt=float(dt), gravity=float(gravity),
         coriolis_f=float(coriolis_f), dx=float(grid.dx), dy=float(grid.dy),
-        by=by,
+        by=by, variant=variant, viscosity=float(viscosity),
     )
     center = pl.BlockSpec((by, nx), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -195,7 +255,8 @@ def _vmem_cap(by: int, width: int) -> int:
 
 def make_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams, dt: float,
                             by: Optional[int] = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            variant: str = "base"):
     """Stepper-shaped wrapper so the Simulation driver / scan can use the
     fused kernel interchangeably with the XLA integrators."""
     from njw_tpu.weather.grid import WeatherState
@@ -203,11 +264,13 @@ def make_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams, dt: float,
 
     g = float(params.gravity)
     f = float(params.coriolis_f)
+    nu = float(params.viscosity)
 
     def step(carry, s, _dt_ignored):
         u, v, h = swe_rk4_step_pallas(
             s.u, s.v, s.h, grid=grid, dt=float(dt), gravity=g,
-            coriolis_f=f, by=by, interpret=interpret,
+            coriolis_f=f, by=by, interpret=interpret, variant=variant,
+            viscosity=nu,
         )
         return carry, WeatherState(u=u, v=v, h=h)
 
@@ -230,7 +293,8 @@ def pallas_supported(grid: GridSpec, params: PhysicsParams, model: str,
         and isinstance(params.beta, numbers.Number)
         and float(params.beta) == 0.0
         and isinstance(params.viscosity, numbers.Number)
-        and float(params.viscosity) == 0.0
+        # viscosity IS supported in-kernel (5-point Laplacian per stage,
+        # r3); beta needs a per-row field, which stays on the XLA path
     )
 
 

@@ -189,6 +189,49 @@ def fir_batch_pallas_flat(x, taps, *, block_frames: int = 4096,
     return jax.lax.dynamic_update_slice(y, head[:, :k - 1], (0, 0))
 
 
+def _fir_lanes_scratch_kernel(x_ref, hcat_hi_ref, hcat_lo_ref, y_ref,
+                              carry_ref, *, n: int, bw: int, passes: int):
+    """Lanes kernel with the previous-frame tail carried in VMEM scratch
+    across grid steps (j innermost): removes the second aliased x input
+    (which both re-reads HBM and can defeat Mosaic's double-buffering)."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = x_ref.shape[0]
+    nfb = bw // _F
+
+    xb = x_ref[...]
+    if n % bw != 0:
+        def _masked():
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, bw), 1)
+            return jnp.where(col + j * bw < n, xb, 0.0)
+
+        xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
+    tail = jnp.where(j > 0, carry_ref[...], 0.0)
+
+    x_hi, x_lo = _split_hi_lo(xb)
+    t_hi, t_lo = _split_hi_lo(tail)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    hcat_hi = hcat_hi_ref[...]
+    outs = []
+    for f in range(nfb):
+        w = slice((f - 1) * _F, (f + 1) * _F)
+        if f == 0:
+            c_hi = jnp.concatenate([t_hi, x_hi[:, :_F]], axis=1)
+        else:
+            c_hi = x_hi[:, w]
+        y = dot(c_hi, hcat_hi)
+        if passes >= 2:
+            c_lo = (jnp.concatenate([t_lo, x_lo[:, :_F]], axis=1)
+                    if f == 0 else x_lo[:, w])
+            y += dot(c_lo, hcat_hi)
+        if passes >= 3:
+            y += dot(c_hi, hcat_lo_ref[...])
+        outs.append(y)
+    y_ref[...] = jnp.concatenate(outs, axis=1)
+    carry_ref[...] = xb[:, bw - _F:]
+
+
 def _fir_lanes_kernel(x_ref, tail_ref, hcat_hi_ref, hcat_lo_ref, y_ref, *,
                       n: int, bw: int, passes: int):
     """Time-on-LANES variant: no relayout at all. The (bm, bw) block keeps
@@ -254,9 +297,9 @@ def _fir_lanes_kernel(x_ref, tail_ref, hcat_hi_ref, hcat_lo_ref, y_ref, *,
 
 @partial(jax.jit,
          static_argnames=("block_rows", "block_frames", "passes",
-                          "interpret"))
+                          "interpret", "scratch"))
 def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
-                    passes: int, interpret: bool):
+                    passes: int, interpret: bool, scratch: bool = True):
     b, n = x.shape
     bm = block_rows
     bw = block_frames * _F
@@ -269,13 +312,27 @@ def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
     hspec = pl.BlockSpec((2 * _F, _F), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
     nfb = block_frames
+    xspec = pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    if scratch and passes > 0:
+        return pl.pallas_call(
+            partial(_fir_lanes_scratch_kernel, n=n, bw=bw, passes=passes),
+            out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
+            grid=grid,
+            in_specs=[xspec, hspec, hspec],
+            out_specs=xspec,
+            scratch_shapes=[pltpu.VMEM((bm, _F), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(x, hcat_hi, hcat_lo)
     return pl.pallas_call(
         partial(_fir_lanes_kernel, n=n, bw=bw, passes=passes),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bm, bw), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            xspec,
             pl.BlockSpec((bm, _F),
                          lambda i, j: (i, jnp.maximum(j * nfb - 1, 0)),
                          memory_space=pltpu.VMEM),
@@ -291,7 +348,7 @@ def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
 
 def fir_batch_pallas_lanes(x, taps, *, block_rows: int = 1000,
                            block_frames: int = 8, passes: int = 3,
-                           interpret: bool = False):
+                           interpret: bool = False, scratch: bool = True):
     """Causal batch FIR, time-on-lanes fused kernel (see
     _fir_lanes_kernel). Same semantics as fir_batch_pallas."""
     from njw_tpu.signal.filters import _fir_band_matrices
@@ -306,7 +363,7 @@ def fir_batch_pallas_lanes(x, taps, *, block_rows: int = 1000,
     bm = min(block_rows, x.shape[0])
     bf = min(block_frames, pl.cdiv(x.shape[1], _F))
     return _fir_lanes_call(x, jnp.asarray(h0), jnp.asarray(h1),
-                           bm, bf, passes, interpret)
+                           bm, bf, passes, interpret, scratch)
 
 
 def fir_batch_pallas(x, taps, *, block_rows: int = 40,

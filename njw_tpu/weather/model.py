@@ -291,7 +291,7 @@ def _maybe_pallas_stepper(config: SimConfig, grid: GridSpec,
         if backend == "pallas":
             raise ValueError(
                 "backend='pallas' requires shallow_water + rk4 + periodic "
-                "BC + constant f (beta=0, viscosity=0) and nx%128==0"
+                "BC + constant f (beta=0) and nx%128==0"
             )
         return None
     import jax

@@ -168,8 +168,11 @@ def build_rows(iters: int):
 
     xbatch = jnp.asarray(
         rng.standard_normal((1000, 100_000)).astype(np.float32))
+    # chain (y -> x), not probe: the probe's x + c perturbation adds a
+    # full 400 MB materialized add (~1 ms) per iteration; FIR is
+    # shape-preserving so the chained form measures the pure kernel.
     rows.append(("batch_1000x100k", max(iters // 4, 2),
-                 lambda n: probe(lambda x: fir_apply(x, taps101), xbatch, n)))
+                 lambda n: chain(lambda x: fir_apply(x, taps101), xbatch, n)))
     return rows
 
 

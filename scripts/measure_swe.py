@@ -29,7 +29,7 @@ def _jit_cache():
         pass
 
 
-def measure_swe(by: int):
+def measure_swe(by: int, variant: str = "base"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +47,8 @@ def measure_swe(by: int):
         def run(u, v, h):
             def body(c, _):
                 return swe_rk4_step_pallas(
-                    *c, grid=grid, dt=0.001, coriolis_f=1e-4, by=by), None
+                    *c, grid=grid, dt=0.001, coriolis_f=1e-4, by=by,
+                    variant=variant), None
 
             (u, v, h), _ = jax.lax.scan(body, (u, v, h), None, length=n)
             return u, v, h
@@ -70,7 +71,7 @@ def measure_swe(by: int):
     ms = (t2 - t1) / STEPS * 1e3
     assert bool(np.isfinite(np.asarray(h)).all())
     print(json.dumps({
-        "config": f"SWE {GRID}^2 rk4 fused pallas by={by}",
+        "config": f"SWE {GRID}^2 rk4 fused pallas by={by} {variant}",
         "ms_per_step": round(ms, 4),
         "grid_points_per_s": round(GRID * GRID / (ms / 1e3), 0),
     }), flush=True)
@@ -111,11 +112,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="both")
     ap.add_argument("--by", type=int, default=None)
+    ap.add_argument("--variants", default="base")
     args = ap.parse_args()
     _jit_cache()
     if args.what in ("swe", "both"):
-        for by in ([args.by] if args.by else [64, 128]):
-            measure_swe(by)
+        for variant in args.variants.split(","):
+            for by in ([args.by] if args.by else [64, 128]):
+                measure_swe(by, variant)
     if args.what in ("baro", "both"):
         measure_baro()
 

@@ -29,7 +29,7 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((1000, 100_000)).astype(np.float32))
     taps = design_fir_lowpass(101, 0.25)
-    iters = 8
+    iters = 16
 
     from njw_tpu.signal.fir_pallas import (
         fir_batch_pallas_flat, fir_batch_pallas_lanes,
@@ -38,8 +38,11 @@ def main():
     for spec in sys.argv[1:]:
         kind, bm, bf, p = spec.split(":")
         bm, bf, p = int(bm), int(bf), int(p)
+        from functools import partial as _pt
+
         fn = {"blk": fir_batch_pallas, "flat": fir_batch_pallas_flat,
-              "lanes": fir_batch_pallas_lanes}[kind]
+              "lanes": fir_batch_pallas_lanes,
+              "lanesT": _pt(fir_batch_pallas_lanes, scratch=False)}[kind]
 
         # chain y -> x: each iteration's input is the previous output, so
         # the loop body is exactly one kernel round-trip (read x, write y)

@@ -56,6 +56,52 @@ class TestFusedKernel:
         np.testing.assert_allclose(np.asarray(h), np.asarray(ref.h),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_folded_variant_matches_base(self):
+        """Scale-folded tendency (fewer VPU mults) == base arithmetic to
+        float rounding."""
+        s = make_initial_state("vortex", GRID, strength=2.0)
+        base = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                   coriolis_f=1e-4, by=16, interpret=True)
+        fold = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                   coriolis_f=1e-4, by=16, interpret=True,
+                                   variant="folded")
+        for a, b in zip(base, fold):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_bf16_variant_within_documented_band(self):
+        s = make_initial_state("vortex", GRID, strength=2.0)
+        ref = _xla_rk4(WeatherState(u=s.u, v=s.v, h=s.h), 0.01)
+        u, v, h = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                      coriolis_f=1e-4, by=16,
+                                      interpret=True, variant="bf16")
+        scale = float(jnp.max(jnp.abs(ref.h)))
+        assert float(jnp.max(jnp.abs(h - ref.h))) / scale < 2e-2
+        # and it must actually differ from f32 (the cast happened)
+        assert float(jnp.max(jnp.abs(h - ref.h))) > 0
+
+    def test_viscosity_in_kernel_matches_xla(self):
+        """The 5-point Laplacian viscosity term runs IN the fused kernel
+        (r2 exclusion closed)."""
+        nu = 0.02
+        params = PhysicsParams(coriolis_f=1e-4, viscosity=nu)
+        s = make_initial_state("vortex", GRID, strength=2.0)
+        u, v, h = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                      coriolis_f=1e-4, viscosity=nu,
+                                      by=16, interpret=True)
+        ref = _xla_rk4(WeatherState(u=s.u, v=s.v, h=s.h), 0.01,
+                       params=params)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(ref.h),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_viscous_config_now_eligible(self):
+        assert pallas_supported(GRID,
+                                PhysicsParams(coriolis_f=1e-4,
+                                              viscosity=0.01),
+                                "shallow_water", "rk4")
+
     def test_rejects_bad_shapes(self):
         grid = GridSpec(nx=100, ny=64)  # nx not multiple of 128
         z = jnp.zeros((64, 100), jnp.float32)
@@ -74,7 +120,6 @@ class TestEligibility:
             (GRID, PARAMS, "barotropic", "rk4"),
             (GRID, PARAMS, "shallow_water", "rk2"),
             (GRID, PhysicsParams(beta=0.1), "shallow_water", "rk4"),
-            (GRID, PhysicsParams(viscosity=0.1), "shallow_water", "rk4"),
             (GridSpec(nx=100, ny=64), PARAMS, "shallow_water", "rk4"),
         ],
     )
