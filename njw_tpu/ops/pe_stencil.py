@@ -54,22 +54,28 @@ LANE = 128  # x halo slab width (lane tile)
 
 def _pe_stage_kernel(
     *refs, L: int, by: int, bx: int, dx: float, dy: float, f: float,
-    c_dt: float, base_coeffs=(1.0,),
+    c_dt: float, base_coeffs=(1.0,), has_phi_s: bool = False,
 ):
     """refs: 25 cur refs (5 fields x center/y-top/y-bottom/x-left/
-    x-right), then len(base_coeffs) groups of 5 center-only base refs,
-    then 5 outputs. out = sum_k coeff_k * base_k + c_dt * T(cur) — the
-    multi-base form lets the RK4 combine ((-s + s1 + 2 s2 + s3)/3 +
-    dt/6 T(s3)) fuse into the final stage instead of a separate XLA pass
-    (one full state read+write per step saved)."""
+    x-right), [5 phi_s refs when has_phi_s — terrain surface geopotential,
+    same halo layout as ps], then len(base_coeffs) groups of 5
+    center-only base refs, then 5 outputs. out = sum_k coeff_k * base_k +
+    c_dt * T(cur) — the multi-base form lets the RK4 combine
+    ((-s + s1 + 2 s2 + s3)/3 + dt/6 T(s3)) fuse into the final stage
+    instead of a separate XLA pass (one full state read+write per step
+    saved)."""
     nb = len(base_coeffs)
     (u_c, u_t, u_b, u_l, u_r,
      v_c, v_t, v_b, v_l, v_r,
      T_c, T_t, T_b, T_l, T_r,
      q_c, q_t, q_b, q_l, q_r,
      ps_c, ps_t, ps_b, ps_l, ps_r) = refs[:25]
-    base_refs = refs[25:25 + 5 * nb]
-    ou, ov, oT, oq, ops = refs[25 + 5 * nb:]
+    off = 25
+    if has_phi_s:
+        phis_refs = refs[off:off + 5]
+        off += 5
+    base_refs = refs[off:off + 5 * nb]
+    ou, ov, oT, oq, ops = refs[off + 5 * nb:]
 
     def base_val(field: int, kk=None):
         acc = None
@@ -154,6 +160,11 @@ def _pe_stage_kernel(
     # lower-interface sigma-dot (identical arithmetic to the XLA path,
     # hydrostatic_geopotential / pe_tendencies_from_shifts)
     phi = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]   # phi at level L-1
+    if has_phi_s:
+        # terrain: surface geopotential enters the hydrostatic integral's
+        # bottom boundary (r2 exclusion closed; XLA counterpart:
+        # primitive.hydrostatic_geopotential phi_bot + phi_s)
+        phi = phi + pad2(*phis_refs)
     sd_dn = zero                                       # interface L
     for kk in range(L - 1, -1, -1):
         sd_up = sdot_half(kk)
@@ -310,13 +321,14 @@ def pe_stage_pallas(
     cur: PEState, base, *, grid: GridSpec, c_dt: float,
     coriolis_f: float = 0.0, by: Optional[int] = None,
     bx: Optional[int] = None, base_coeffs: Tuple[float, ...] = (1.0,),
-    interpret: bool = False,
+    phi_s=None, interpret: bool = False,
 ) -> PEState:
     """out = sum_k coeff_k * base_k + c_dt * T(cur) in one fused pass.
 
     base: a PEState (single base) or a tuple of PEStates matching
     base_coeffs — the multi-base form fuses the RK4 accumulator combine
-    into the final stage kernel."""
+    into the final stage kernel. phi_s: optional (ny, nx) surface
+    geopotential (terrain), fed with the same halo layout as ps."""
     bases = base if isinstance(base, tuple) else (base,)
     if len(bases) != len(base_coeffs):
         raise ValueError("len(base) != len(base_coeffs)")
@@ -336,6 +348,7 @@ def pe_stage_pallas(
         _pe_stage_kernel, L=L, by=by, bx=bx, dx=float(grid.dx),
         dy=float(grid.dy), f=float(coriolis_f), c_dt=float(c_dt),
         base_coeffs=tuple(float(c) for c in base_coeffs),
+        has_phi_s=phi_s is not None,
     )
     (c3, t3, b3, l3, r3), (c2, t2, b2, l2, r2) = _block_specs(
         L, ny, nx, by, bx)
@@ -344,6 +357,10 @@ def pe_stage_pallas(
     s2 = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
     vmem_limit = min(_vmem_estimate(L, by, bx, nb) + (8 << 20), 100 << 20)
 
+    phis_specs, phis_ops = [], []
+    if phi_s is not None:
+        phis_specs = [c2, t2, b2, l2, r2]
+        phis_ops = [phi_s] * 5
     base_ops = []
     for b in bases:
         base_ops += [b.u, b.v, b.T, b.q, b.ps]
@@ -352,6 +369,7 @@ def pe_stage_pallas(
         grid=(ny // by, nx // bx),
         in_specs=(
             [c3, t3, b3, l3, r3] * 4 + [c2, t2, b2, l2, r2]  # cur
+            + phis_specs                                     # terrain
             + [c3, c3, c3, c3, c2] * nb                      # bases
         ),
         out_specs=(c3, c3, c3, c3, c2),
@@ -362,6 +380,7 @@ def pe_stage_pallas(
     )(
         *([cur.u] * 5), *([cur.v] * 5), *([cur.T] * 5), *([cur.q] * 5),
         *([cur.ps] * 5),
+        *phis_ops,
         *base_ops,
     )
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
@@ -461,16 +480,18 @@ def pe_stage_pallas_local(
 
 
 def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
-                               dt: float, interpret: bool = False):
+                               dt: float, interpret: bool = False,
+                               phi_s=None):
     """RK4 via 4 fused stage kernels + one XLA accumulator pass:
     s1 = s + dt/2 T(s);  s2 = s + dt/2 T(s1);  s3 = s + dt T(s2)
-    acc = (-s + s1 + 2 s2 + s3)/3;  s' = acc + dt/6 T(s3)."""
+    acc = (-s + s1 + 2 s2 + s3)/3;  s' = acc + dt/6 T(s3).
+    phi_s: optional (ny, nx) surface geopotential (terrain in-kernel)."""
     from njw_tpu.weather.integrators import Stepper
 
     f = float(params.coriolis_f)
     dt = float(dt)
     stage = functools.partial(pe_stage_pallas, grid=grid, coriolis_f=f,
-                              interpret=interpret)
+                              interpret=interpret, phi_s=phi_s)
 
     third = 1.0 / 3.0
     # Fuse the RK4 combine into the final stage ONLY when the 4-base

@@ -46,37 +46,46 @@ def _ring_shift(x: jnp.ndarray, axis_name: str, shift: int) -> jnp.ndarray:
 
 def halo_pad_2d(
     f: jnp.ndarray, halo: int = 1, *, x_axis: str = "x", y_axis: str = "y",
-    bc: str = "periodic",
+    bc: str = "periodic", wall_sign_x: float = 1.0,
+    wall_sign_y: float = 1.0,
 ) -> jnp.ndarray:
     """Pad a local (ly, lx) shard to (ly+2h, lx+2h) with neighbor data.
 
-    Must be called inside shard_map over a ('y','x') mesh. For bc='clamped'
-    the exchange is still a ring, but shards on the global boundary
-    overwrite the wrapped halo with their own edge (clamp).
+    Must be called inside shard_map over a ('y','x') mesh. For
+    bc='clamped'/'reflective' the exchange is still a ring, but shards on
+    the global boundary overwrite the wrapped halo with their own edge
+    (clamp), scaled by wall_sign_{x,y} — the reflective wall-normal
+    velocity ghost flip is wall_sign_x=-1 for u, wall_sign_y=-1 for v
+    (SURVEY §7 hard-part 5: per-shard edge masking; matches the
+    whole-domain construction in dynamics.swe_tendencies, where the x
+    flip is applied before the y clamp so corners get exactly one flip).
     """
     h = halo
+    clampy = bc in ("clamped", "reflective")
     # --- x direction (minor axis) ---
     left_halo = _ring_shift(f[..., :, -h:], x_axis, +1)   # from left neighbor
     right_halo = _ring_shift(f[..., :, :h], x_axis, -1)   # from right neighbor
-    if bc == "clamped":
+    if clampy:
         ix = lax.axis_index(x_axis)
         nx = lax.axis_size(x_axis)
-        left_halo = jnp.where(ix == 0, f[..., :, :1].repeat(h, -1), left_halo)
+        left_halo = jnp.where(
+            ix == 0, wall_sign_x * f[..., :, :1].repeat(h, -1), left_halo)
         right_halo = jnp.where(
-            ix == nx - 1, f[..., :, -1:].repeat(h, -1), right_halo
-        )
+            ix == nx - 1, wall_sign_x * f[..., :, -1:].repeat(h, -1),
+            right_halo)
     fx = jnp.concatenate([left_halo, f, right_halo], axis=-1)
 
     # --- y direction (includes x halos -> corners correct) ---
     top_halo = _ring_shift(fx[..., -h:, :], y_axis, +1)
     bot_halo = _ring_shift(fx[..., :h, :], y_axis, -1)
-    if bc == "clamped":
+    if clampy:
         iy = lax.axis_index(y_axis)
         ny = lax.axis_size(y_axis)
-        top_halo = jnp.where(iy == 0, fx[..., :1, :].repeat(h, -2), top_halo)
+        top_halo = jnp.where(
+            iy == 0, wall_sign_y * fx[..., :1, :].repeat(h, -2), top_halo)
         bot_halo = jnp.where(
-            iy == ny - 1, fx[..., -1:, :].repeat(h, -2), bot_halo
-        )
+            iy == ny - 1, wall_sign_y * fx[..., -1:, :].repeat(h, -2),
+            bot_halo)
     return jnp.concatenate([top_halo, fx, bot_halo], axis=-2)
 
 
@@ -164,12 +173,11 @@ def sharded_swe_step(
     ly, lx = grid.ny // py, grid.nx // px
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
-    if grid.bc == "reflective":
-        raise NotImplementedError(
-            "reflective BC is whole-domain-path only (velocity ghost sign "
-            "flips at global walls are not sharded yet)")
     from njw_tpu.weather.dynamics import scalar_bc
+    reflective = grid.bc == "reflective"
     bc = scalar_bc(grid.bc)
+    su_x = -1.0 if reflective else 1.0   # u ghost flips at global x walls
+    sv_y = -1.0 if reflective else 1.0   # v ghost flips at global y walls
     beta = params.beta
     use_beta = not (isinstance(beta, (int, float)) and beta == 0.0)
     if ly < 4 or lx < 4:
@@ -193,9 +201,11 @@ def sharded_swe_step(
             return p.replace(coriolis_f=f[rows, :])
         return p
 
+    bcv = grid.bc if reflective else bc   # velocity pad rule
+
     def local_tendency_padded(s: WeatherState) -> WeatherState:
-        up = halo_pad_2d(s.u, 1, bc=bc)
-        vp = halo_pad_2d(s.v, 1, bc=bc)
+        up = halo_pad_2d(s.u, 1, bc=bcv, wall_sign_x=su_x)
+        vp = halo_pad_2d(s.v, 1, bc=bcv, wall_sign_y=sv_y)
         hp = halo_pad_2d(s.h, 1, bc=bc)
         du, dv, dh = swe_tendencies_from_shifts(
             up, vp, hp, shift, grid, local_params(), interior=crop
@@ -205,8 +215,8 @@ def sharded_swe_step(
     def local_tendency_overlap(s: WeatherState) -> WeatherState:
         p = local_params()
         # halo exchange (async collectives) issued first ...
-        up = halo_pad_2d(s.u, 1, bc=bc)
-        vp = halo_pad_2d(s.v, 1, bc=bc)
+        up = halo_pad_2d(s.u, 1, bc=bcv, wall_sign_x=su_x)
+        vp = halo_pad_2d(s.v, 1, bc=bcv, wall_sign_y=sv_y)
         hp = halo_pad_2d(s.h, 1, bc=bc)
         # ... interior depends ONLY on the local block: computes while
         # the edge strips are in flight
@@ -285,28 +295,29 @@ def sharded_pe_step(
     ly, lx = grid.ny // py, grid.nx // px
     shift = make_padded_shift_fn(1, ly, lx)
     crop = interior_crop(1, ly, lx)
-    if grid.bc == "reflective":
-        raise NotImplementedError("reflective BC is whole-domain-path only")
     from njw_tpu.weather.dynamics import scalar_bc
+    reflective = grid.bc == "reflective"
     bc = scalar_bc(grid.bc)
+    bcv = grid.bc if reflective else bc
+    su_x = -1.0 if reflective else 1.0   # u ghost flips at global x walls
+    sv_y = -1.0 if reflective else 1.0   # v ghost flips at global y walls
     if ly < 4 or lx < 4:
         overlap = False
 
-    def local_tendency_padded(s: PEState) -> PEState:
-        padded = PEState(
-            u=halo_pad_2d(s.u, 1, bc=bc), v=halo_pad_2d(s.v, 1, bc=bc),
+    def _pad_state(s: PEState) -> PEState:
+        return PEState(
+            u=halo_pad_2d(s.u, 1, bc=bcv, wall_sign_x=su_x),
+            v=halo_pad_2d(s.v, 1, bc=bcv, wall_sign_y=sv_y),
             T=halo_pad_2d(s.T, 1, bc=bc), q=halo_pad_2d(s.q, 1, bc=bc),
             ps=halo_pad_2d(s.ps, 1, bc=bc),
         )
-        return pe_tendencies_from_shifts(padded, shift, grid, params,
-                                         interior=crop)
+
+    def local_tendency_padded(s: PEState) -> PEState:
+        return pe_tendencies_from_shifts(_pad_state(s), shift, grid,
+                                         params, interior=crop)
 
     def local_tendency_overlap(s: PEState) -> PEState:
-        padded = PEState(
-            u=halo_pad_2d(s.u, 1, bc=bc), v=halo_pad_2d(s.v, 1, bc=bc),
-            T=halo_pad_2d(s.T, 1, bc=bc), q=halo_pad_2d(s.q, 1, bc=bc),
-            ps=halo_pad_2d(s.ps, 1, bc=bc),
-        )
+        padded = _pad_state(s)
         # interior from the unpadded block — no ppermute dependence
         sh_i = make_padded_shift_fn(1, ly - 2, lx - 2)
         cr_i = interior_crop(1, ly - 2, lx - 2)

@@ -259,18 +259,15 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
     tendency = lambda s: pe_tendencies(s, grid, params, phi_s=phi_s)
 
     # backend selection: fused Pallas PE stage kernel when eligible
-    # (mirrors the SWE selection; terrain stays on the XLA path)
-    if config.backend == "pallas" and phi_s is not None:
-        raise ValueError(
-            "backend='pallas' does not support orography (the fused stage "
-            "kernel has no phi_s input); use backend='auto' or 'xla'")
+    # (mirrors the SWE selection; terrain rides in-kernel since r3 —
+    # phi_s feeds the hydrostatic bottom boundary with ps-like halos)
     stepper_factory = None
     if config.integration_method == "semi_implicit":
         from njw_tpu.weather.semi_implicit import semi_implicit_pe
 
         stepper_factory = lambda t: semi_implicit_pe(
             t, grid=grid, params=params)
-    if config.backend in ("auto", "pallas") and phi_s is None \
+    if config.backend in ("auto", "pallas") \
             and config.integration_method == "rk4":
         from njw_tpu.ops.pe_stencil import (
             make_pe_pallas_rk4_stepper, pe_pallas_supported,
@@ -282,7 +279,8 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
             on_tpu = jax.devices()[0].platform == "tpu"
             if on_tpu or config.backend == "pallas":
                 stepper_factory = lambda _t: make_pe_pallas_rk4_stepper(
-                    grid, params, config.dt, interpret=not on_tpu)
+                    grid, params, config.dt, interpret=not on_tpu,
+                    phi_s=phi_s)
 
     def output_fn(s):
         return {"u": s.u, "v": s.v, "T": s.T, "q": s.q, "ps": s.ps}

@@ -58,8 +58,10 @@ def main():
             "viewshed": lambda d: viewshed(d, src, n_samples=64),
             "fill_sinks": lambda d: fill_sinks(d),
             "flow_accumulation": lambda d: flow_accumulation(d),
-            "cost_distance": lambda d, c=cost: cost_distance(c + 0 * d[:1, :1],
-                                                             src),
+            # the perturbation must not be 0 * x (XLA constant-folds it
+            # and hoists the whole op out of the loop)
+            "cost_distance": lambda d, c=cost: cost_distance(
+                c + d[:1, :1] * 1e-30, src),
         }
 
         iters = 4

@@ -101,6 +101,60 @@ class TestShardedStep:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_reflective_bc_matches(self):
+        """Sharded reflective == whole-domain reflective (the velocity
+        ghost sign flip as per-shard edge masking — SURVEY §7 hard-part 5,
+        closed r3). Nonzero wall winds so the flip matters."""
+        grid = GridSpec(nx=32, ny=32, bc="reflective")
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = make_initial_state("random", grid, seed=5)
+        s0 = WeatherState(u=s0.u + 0.5, v=s0.v - 0.3, h=s0.h)
+
+        mesh = _mesh(2, 2)
+        step = sharded_swe_step(grid, params, mesh, dt=0.005, method="rk4",
+                                n_steps=10)
+        sharded = step(sharded_state(s0, mesh))
+
+        from njw_tpu.weather.dynamics import make_tendency_fn
+        from njw_tpu.weather.integrators import make_stepper
+
+        st = make_stepper("rk4", make_tendency_fn("shallow_water", grid,
+                                                  params))
+        s = s0
+        for _ in range(10):
+            _, s = st.step((), s, jnp.float32(0.005))
+        np.testing.assert_allclose(np.asarray(sharded.h), np.asarray(s.h),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sharded.u), np.asarray(s.u),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_pe_reflective_bc_matches(self):
+        """Sharded PE with reflective walls == whole-domain PE."""
+        from njw_tpu.parallel.halo import sharded_pe_step
+        from njw_tpu.weather.integrators import make_stepper
+        from njw_tpu.weather.primitive import (
+            pe_initial_state, pe_tendencies,
+        )
+
+        grid = GridSpec(nx=32, ny=32, levels=3, dx=1e5, dy=1e5,
+                        bc="reflective")
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+
+        mesh = _mesh(2, 2)
+        step = sharded_pe_step(grid, params, mesh, dt=30.0, method="rk4",
+                               n_steps=10)
+        sharded = step(sharded_state(s0, mesh))
+
+        st = make_stepper("rk4", lambda s: pe_tendencies(s, grid, params))
+        s = s0
+        for _ in range(10):
+            _, s = st.step((), s, jnp.float32(30.0))
+        np.testing.assert_allclose(np.asarray(sharded.ps),
+                                   np.asarray(s.ps), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sharded.u),
+                                   np.asarray(s.u), rtol=1e-4, atol=1e-4)
+
     @pytest.mark.parametrize("bc", ["periodic", "clamped"])
     def test_overlap_equals_padded_path(self, bc):
         """Interior/edge-overlap restructure (r2) must be numerically

@@ -264,12 +264,61 @@ class TestPETerrain:
         phi_s = self._mountain(g, 1000.0)
         sim = Simulation.from_config(cfg, "baroclinic", u_jet=8.0,
                                      orography=phi_s)
-        # terrain forces the XLA path (kernel doesn't carry phi_s)
-        assert sim.stepper.name != "pe_rk4_pallas"
         sim.step(10)
         assert bool(jnp.isfinite(sim.state.ps).all())
         # flow over the mountain generates vertical structure
         assert float(jnp.max(jnp.abs(sim.state.v))) > 0.0
+
+    def test_stage_kernel_carries_terrain(self):
+        """The fused PE stage kernel with phi_s == the XLA tendency path
+        with terrain (interpret mode) — r2 fast-path exclusion closed."""
+        from njw_tpu.ops.pe_stencil import pe_stage_pallas
+        from njw_tpu.weather.primitive import (
+            pe_initial_state, pe_tendencies,
+        )
+
+        grid = GridSpec(nx=128, ny=32, levels=4, dx=1e5, dy=1e5)
+        phi_s = jnp.asarray(self._mountain(grid, 1500.0))
+        s = pe_initial_state(grid, u_jet=8.0, perturb=0.5, phi_s=phi_s)
+        c = 13.0
+        got = pe_stage_pallas(s, s, grid=grid, c_dt=c, coriolis_f=1e-4,
+                              by=8, bx=128, phi_s=phi_s, interpret=True)
+        t = pe_tendencies(s, grid, PARAMS, phi_s=phi_s)
+        import jax
+
+        want = jax.tree.map(lambda a, b: a + c * b, s, t)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                rtol=2e-4, atol=2e-4, err_msg=name)
+
+    def test_pallas_stepper_with_terrain_matches_xla_rk4(self):
+        """Full RK4 step via the terrain-carrying kernel == the XLA
+        integrator with orography (backend='pallas' forces interpret)."""
+        from njw_tpu.weather import SimConfig, Simulation
+
+        grid_n = 128
+        cfg_p = SimConfig(model="primitive", grid_width=grid_n,
+                          grid_height=32, num_levels=3, dx=1e5, dy=1e5,
+                          dt=20.0, coriolis_f=1e-4, backend="pallas")
+        cfg_x = SimConfig(model="primitive", grid_width=grid_n,
+                          grid_height=32, num_levels=3, dx=1e5, dy=1e5,
+                          dt=20.0, coriolis_f=1e-4, backend="xla")
+        g = GridSpec(nx=grid_n, ny=32, levels=3, dx=1e5, dy=1e5)
+        phi_s = self._mountain(g, 1000.0)
+        kw = dict(u_jet=6.0, perturb=0.3, orography=phi_s)
+        sp = Simulation.from_config(cfg_p, "baroclinic", **kw)
+        sx = Simulation.from_config(cfg_x, "baroclinic", **kw)
+        assert sp.stepper.name == "pe_rk4_pallas"
+        sp.step(5)
+        sx.step(5)
+        np.testing.assert_allclose(np.asarray(sp.state.ps),
+                                   np.asarray(sx.state.ps),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sp.state.u),
+                                   np.asarray(sx.state.u),
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestPEReflective:
