@@ -22,4 +22,4 @@ Design principles (TPU-first, not a port):
   per-step host<->device shuffling (ref: adaptive_kernels.cu:432-454).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -150,12 +150,16 @@ class WeatherBenchmark(WorkloadBenchmark):
         kw = {"strength": 2.0} if self.model != "primitive" else {}
         return Simulation.from_config(cfg, ic, **kw)
 
+    INNER = 20  # scan chunks of INNER*num_steps: the marginal must be
+    # >> the ~5 ms dispatch noise of a tunneled TPU backend
+
     def execute(self, sim, repeats: int = 1):
-        sim.step(self.num_steps * repeats)  # ONE compiled scan chunk
+        sim.step(self.num_steps * self.INNER * repeats)  # ONE scan chunk
         gps = self.grid_size ** 2
-        return self.num_steps, "steps/s", {
+        return self.num_steps * self.INNER, "steps/s", {
             "grid_points_per_second_factor": gps,
             "backend": sim.stepper.name,
+            "steps_per_repeat": self.num_steps * self.INNER,
         }
 
     def sync(self, sim):
@@ -182,9 +186,14 @@ class NBodyBenchmark(WorkloadBenchmark):
         return NBodySimulation(create_random_system(self.n),
                                integrator="leapfrog", dt=0.001)
 
+    INNER = 1000  # 4096-body MXU steps are ~2.5 us each; the marginal
+    # must dominate the ~5 ms dispatch noise
+
     def execute(self, sim, repeats: int = 1):
-        sim.step(self.num_steps * repeats)
-        return self.n * self.n * self.num_steps, "interactions/s", {}
+        sim.step(self.num_steps * self.INNER * repeats)
+        return self.n * self.n * self.num_steps * self.INNER, \
+            "interactions/s", {"steps_per_repeat":
+                               self.num_steps * self.INNER}
 
     def sync(self, sim):
         np.asarray(sim.system.pos[:1])
@@ -206,9 +215,12 @@ class MDBenchmark(WorkloadBenchmark):
         state, topo, lj = create_lj_fluid(self.n, T0=1.0)
         return MDSimulation(state, topo, lj, dt=0.002)
 
+    INNER = 60
+
     def execute(self, sim, repeats: int = 1):
-        sim.step(self.num_steps * repeats)
-        return self.n * self.num_steps, "atom-steps/s", {}
+        sim.step(self.num_steps * self.INNER * repeats)
+        return self.n * self.num_steps * self.INNER, "atom-steps/s", {
+            "steps_per_repeat": self.num_steps * self.INNER}
 
     def sync(self, sim):
         np.asarray(sim.state.pos[:1])
@@ -238,6 +250,9 @@ class SignalBenchmark(WorkloadBenchmark):
                         jnp.float32)
         return (x, FIRFilter(num_taps=self.taps, cutoff=0.25))
 
+    INNER = 8  # filter applications per repeat: one application's
+    # marginal (~0.3 ms) would drown in dispatch noise on a tunneled TPU
+
     def execute(self, state, repeats: int = 1):
         import jax
 
@@ -250,10 +265,11 @@ class SignalBenchmark(WorkloadBenchmark):
                     0, n, lambda i, c: filt.apply(c), x)
 
             self._run = _run
-        y = self._run(x, repeats)
+        y = self._run(x, self.INNER * repeats)
         np.asarray(y[..., :1])  # hard D2H sync (block_until_ready can
         # report early on remote-tunnel backends)
-        return self.batch * self.n, "samples/s", {"taps": self.taps}
+        return self.INNER * self.batch * self.n, "samples/s", {
+            "taps": self.taps, "applications_per_repeat": self.INNER}
 
 
 class MedicalBenchmark(WorkloadBenchmark):
@@ -343,9 +359,10 @@ class GeospatialBenchmark(WorkloadBenchmark):
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
             self._run = _run
-        out = self._run(dem, repeats)
+        out = self._run(dem, 4 * repeats)
         np.asarray(out)  # hard D2H of the chained output
-        return self.size * self.size, "cells/s", {}
+        return 4 * self.size * self.size, "cells/s", {
+            "pipelines_per_repeat": 4}
 
 
 class BenchmarkSuite:

@@ -114,6 +114,12 @@ def make_barotropic_sim(sim_cls, config, initial_condition: str, **ic_params):
     )
     zeta0 = diagnostics(full0, grid)["vorticity"]
     state0 = BarotropicState(zeta=zeta0)
+    if config.integration_method == "semi_implicit":
+        raise ValueError(
+            "semi_implicit applies to models with fast gravity-wave "
+            "modes (shallow_water, primitive); the barotropic vorticity "
+            "equation has none — its CFL limit is already advective. "
+            "Use rk4/rk2/adams_bashforth.")
 
     tendency = lambda s: barotropic_tendencies(s, grid, params)
 
