@@ -43,12 +43,12 @@ HALO = 4  # rows of halo each side = chained stencil stages per step
 
 
 def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
-    """Largest strip height whose ~18 live field buffers fit VMEM."""
+    """Measured-best strip height whose ~18 live field buffers fit VMEM."""
     # Mosaic's scoped-vmem stack holds ~30 live strip-sized f32 buffers at
-    # the deepest point of the fused 4-stage computation. With the
-    # pallas_call's 24M scoped-vmem cap, by=64 compiles at nx=2048 and
-    # measures 27% faster than by=32 (13.45G vs 10.6G pts/s on v5e).
-    for by in (256, 128, 64, 32, 16, 8):
+    # the deepest point of the fused 4-stage computation. Preference order
+    # is MEASURED on v5e at nx=2048: by=64 12.82G pts/s, by=128 neutral,
+    # by=256 11.01G (-16%: VMEM pressure hurts pipelining), by=32 10.6G.
+    for by in (64, 128, 256, 32, 16, 8):
         if ny % by:
             continue
         strip_bytes = (by + 2 * HALO) * nx * 4

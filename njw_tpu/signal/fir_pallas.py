@@ -208,6 +208,21 @@ def _fir_lanes_scratch_kernel(x_ref, hcat_hi_ref, hcat_lo_ref, y_ref,
         xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
     tail = jnp.where(j > 0, carry_ref[...], 0.0)
 
+    if passes == 6:
+        # f32 operands at Precision.HIGH: Mosaic runs the bf16_3x
+        # decomposition inside the MXU pipeline — zero VPU converts.
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGH)
+        hcat = hcat_hi_ref[...]
+        outs = []
+        for f in range(nfb):
+            c = (jnp.concatenate([tail, xb[:, :_F]], axis=1) if f == 0
+                 else xb[:, (f - 1) * _F:(f + 1) * _F])
+            outs.append(dot(c, hcat))
+        y_ref[...] = jnp.concatenate(outs, axis=1)
+        carry_ref[...] = xb[:, bw - _F:]
+        return
+
     x_hi, x_lo = _split_hi_lo(xb)
     t_hi, t_lo = _split_hi_lo(tail)
     dot = partial(jnp.dot, preferred_element_type=jnp.float32)
@@ -305,7 +320,7 @@ def _fir_lanes_call(x, h0, h1, block_rows: int, block_frames: int,
     bw = block_frames * _F
     grid = (pl.cdiv(b, bm), pl.cdiv(n, bw))
     hcat = jnp.concatenate([h1, h0], axis=0)       # (256, 128): [H1; H0]
-    if passes == 0:
+    if passes in (0, 6):
         hcat_hi, hcat_lo = hcat, hcat              # f32, used directly
     else:
         hcat_hi, hcat_lo = _split_hi_lo(hcat)
