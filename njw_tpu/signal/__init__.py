@@ -22,7 +22,8 @@ filtering (FIR/IIR/adaptive/multirate), and time-frequency analysis
 """
 from njw_tpu.signal.windows import get_window, WINDOWS
 from njw_tpu.signal.spectral import FFT, SpectralAnalyzer, compute_psd, \
-    compute_spectrogram, compute_coherence, detect_peaks
+    compute_spectrogram, compute_coherence, detect_peaks, detect_harmonics, \
+    cepstrum, pitch_detect
 from njw_tpu.signal.filters import (
     FIRFilter, IIRFilter, AdaptiveFilter, MultirateFilter,
     design_fir_lowpass, design_fir_bandpass, design_fir_highpass,

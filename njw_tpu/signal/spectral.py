@@ -216,6 +216,37 @@ def detect_harmonics(spectrum, freqs, f0_range=(20.0, 2000.0),
     return best
 
 
+def cepstrum(x, kind: str = "real"):
+    """Real or power cepstrum: IFFT(log |FFT(x)|) (ref cepstrum kernel:
+    fft_kernels.cu:1364-1388). Batched over leading dims."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    spec = jnp.abs(jnp.fft.rfft(x, axis=-1))
+    logmag = jnp.log(jnp.maximum(spec, 1e-12))
+    c = jnp.fft.irfft(logmag, n=x.shape[-1], axis=-1)
+    if kind == "power":
+        return c * c
+    if kind != "real":
+        raise ValueError("kind must be 'real' or 'power'")
+    return c
+
+
+def pitch_detect(x, fs: float, fmin: float = 50.0, fmax: float = 800.0):
+    """Cepstral pitch estimate in Hz (ref pitch kernel:
+    fft_kernels.cu:1364-1388): the quefrency of the cepstral peak within
+    the [1/fmax, 1/fmin] lag band. Batched over leading dims."""
+    import jax.numpy as jnp
+
+    c = cepstrum(x)
+    n = c.shape[-1]
+    q_lo = max(int(fs / fmax), 1)
+    q_hi = min(int(fs / fmin) + 1, n // 2)
+    band = c[..., q_lo:q_hi]
+    q = jnp.argmax(band, axis=-1) + q_lo
+    return fs / q.astype(jnp.float32)
+
+
 class SpectralAnalyzer:
     """Facade bundling the spectral ops (ref: spectral_analysis.h:254;
     spectral.py:269) with a fixed sample rate and window config."""

@@ -625,3 +625,44 @@ class TestStreamingFilters:
         si.reset()
         b = np.asarray(si.process(x))
         np.testing.assert_array_equal(a, b)
+
+
+class TestCepstrumPitch:
+    """Cepstrum + cepstral pitch (ref: fft_kernels.cu:1364-1388)."""
+
+    def test_pitch_of_harmonic_tone(self):
+        from njw_tpu.signal import pitch_detect
+
+        fs = 8000.0
+        t = np.arange(4096) / fs
+        f0 = 220.0
+        # rich harmonic stack (cepstral pitch needs harmonics)
+        x = sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 6))
+        f_est = float(pitch_detect(x.astype(np.float32), fs))
+        assert abs(f_est - f0) / f0 < 0.03
+
+    def test_pitch_batched(self):
+        from njw_tpu.signal import pitch_detect
+
+        fs = 8000.0
+        t = np.arange(4096) / fs
+        xs = np.stack([
+            sum(np.sin(2 * np.pi * k * f0 * t) / k for k in range(1, 6))
+            for f0 in (150.0, 330.0)
+        ]).astype(np.float32)
+        est = np.asarray(pitch_detect(xs, fs))
+        assert abs(est[0] - 150.0) / 150.0 < 0.03
+        assert abs(est[1] - 330.0) / 330.0 < 0.03
+
+    def test_cepstrum_shapes_and_peak(self):
+        from njw_tpu.signal import cepstrum
+
+        fs = 8000.0
+        t = np.arange(2048) / fs
+        x = sum(np.sin(2 * np.pi * k * 200.0 * t) for k in range(1, 5))
+        c = np.asarray(cepstrum(x.astype(np.float32)))
+        assert c.shape == (2048,)
+        q = int(np.argmax(c[20:200])) + 20   # peak near fs/200 = 40
+        assert abs(q - 40) <= 2
+        cp = np.asarray(cepstrum(x.astype(np.float32), kind="power"))
+        assert (cp >= 0).all()
