@@ -285,6 +285,7 @@ def pallas_supported(grid: GridSpec, params: PhysicsParams, model: str,
     return (
         model == "shallow_water"
         and method == "rk4"
+        and grid.grid_type == "cartesian"
         and grid.bc == "periodic"
         and grid.nx % 128 == 0
         and grid.ny % 8 == 0

@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--initial", default="vortex")
     p.add_argument("--bc", default="periodic",
                    choices=["periodic", "clamped", "outflow", "reflective"])
+    p.add_argument("--grid-type", default="cartesian",
+                   choices=["cartesian", "staggered"],
+                   help="cartesian = collocated A-grid; staggered = "
+                        "Arakawa C-grid (Sadourny enstrophy-conserving)")
     p.add_argument("--mountain-height", type=float, default=0.0,
                    help="gaussian orography peak (geopotential m^2/s^2); "
                         "primitive model only")
@@ -77,7 +81,7 @@ def main(argv=None) -> int:
     cfg = SimConfig(
         model=args.model, grid_width=args.width, grid_height=args.height,
         num_levels=args.levels, dx=args.dx, dy=args.dy, dt=args.dt,
-        integration_method=args.method, boundary_condition=args.bc,
+        integration_method=args.method, boundary_condition=args.bc, grid_type=args.grid_type,
         coriolis_f=args.coriolis, beta=args.beta, viscosity=args.viscosity,
         backend=args.backend, max_steps=args.steps,
         output_interval=args.output_interval,
@@ -157,7 +161,7 @@ def _validate(args) -> int:
         if args.initial == "vortex" else make_initial_state(args.initial, grid)
     cfg = SimConfig(grid_width=n, grid_height=n, dt=args.dt,
                     integration_method=args.method,
-                    boundary_condition=args.bc, backend=args.backend,
+                    boundary_condition=args.bc, grid_type=args.grid_type, backend=args.backend,
                     coriolis_f=args.coriolis)
     ic_kw = {"strength": 2.0} if args.initial == "vortex" else {}
     sim = Simulation.from_config(cfg, args.initial, **ic_kw)

@@ -254,6 +254,10 @@ def make_tendency_fn(
 ) -> Callable[[WeatherState], WeatherState]:
     grid.validate()
     if model in ("shallow_water", "general"):
+        if grid.grid_type == "staggered":
+            from njw_tpu.weather.staggered import swe_tendencies_cgrid
+
+            return lambda s: swe_tendencies_cgrid(s, grid, params)
         return lambda s: swe_tendencies(s, grid, params)
     if model == "barotropic":
         from njw_tpu.weather.barotropic import barotropic_tendencies

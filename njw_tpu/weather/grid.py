@@ -39,6 +39,11 @@ class GridSpec:
     #             CPU stencil actually implements (ref:
     #             weather_simulation.cpp:509-513 idx_left=(x>0)?idx-1:idx).
     bc: str = static_field(default="periodic")
+    # 'cartesian' (A-grid, collocated) or 'staggered' (Arakawa C-grid,
+    # Sadourny enstrophy-conserving scheme — weather/staggered.py).
+    # ref: GridType{Cartesian,Staggered,Icosahedral,SphericalHarmonic}
+    # declared at weather_sim.hpp:61-66, only Cartesian ever used.
+    grid_type: str = static_field(default="cartesian")
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -57,6 +62,14 @@ class GridSpec:
     def validate(self) -> None:
         if self.bc not in ("periodic", "clamped", "outflow", "reflective"):
             raise ValueError(f"unknown boundary condition: {self.bc!r}")
+        if self.grid_type not in ("cartesian", "staggered"):
+            raise ValueError(
+                f"unknown grid type: {self.grid_type!r} (the reference "
+                "declares Icosahedral/SphericalHarmonic too but never "
+                "implements any non-Cartesian grid — here 'staggered' is "
+                "a real Arakawa C-grid core)")
+        if self.grid_type == "staggered" and self.bc != "periodic":
+            raise ValueError("the C-grid core is periodic-only")
         if self.nx < 3 or self.ny < 3:
             raise ValueError("grid must be at least 3x3 for central differences")
 

@@ -38,6 +38,7 @@ class SimConfig:
     model: str = "shallow_water"  # shallow_water | barotropic | primitive | general
     integration_method: str = "rk4"  # euler|rk2|rk4|adams_bashforth|semi_implicit
     boundary_condition: str = "periodic"  # periodic | clamped | outflow | reflective
+    grid_type: str = "cartesian"          # cartesian (A-grid) | staggered (C-grid)
 
     grid_width: int = 256
     grid_height: int = 256
@@ -61,6 +62,7 @@ class SimConfig:
         return GridSpec(
             nx=self.grid_width, ny=self.grid_height, levels=self.num_levels,
             dx=self.dx, dy=self.dy, bc=self.boundary_condition,
+            grid_type=self.grid_type,
         )
 
     def physics(self) -> PhysicsParams:
