@@ -62,6 +62,8 @@ def main():
     p.add_argument("--animate", action="store_true")
     p.add_argument("--bc", default="periodic",
                    choices=["periodic", "clamped", "outflow", "reflective"])
+    p.add_argument("--grid-type", default="cartesian",
+                   choices=["cartesian", "staggered"])
     p.add_argument("--compare-methods", action="store_true",
                    help="run euler/rk2/rk4/ab2/semi-implicit on the same "
                         "IC and report stability + divergence from rk4")
@@ -79,7 +81,8 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     cfg = SimConfig(grid_width=args.width, grid_height=args.height,
                     dt=args.dt, integration_method=args.method,
-                    backend=args.backend, coriolis_f=1e-4)
+                    backend=args.backend, coriolis_f=1e-4,
+                    boundary_condition=args.bc, grid_type=args.grid_type)
     sim = Simulation.from_config(cfg, args.initial, strength=2.0)
     sim.run(args.steps, output_interval=max(args.steps // 25, 1))
 
