@@ -16,7 +16,7 @@ anything, SURVEY §5.8).
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,8 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from njw_tpu.ops.spectral import _fd_wavenumbers_np
+
+AxisName = Union[str, Sequence[str]]
 
 
 def _local_transpose_fwd(block, axis_name: str):
@@ -135,4 +137,104 @@ def make_distributed_poisson(mesh: Mesh, ny: int, nx: int, dx: float,
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=P("y", None),
                        out_specs=P("y", None), check_vma=False)
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh ('y','x') generalization: pencil decomposition
+# ---------------------------------------------------------------------------
+#
+# On a py*px mesh the local block is (ny/py, nx/px): x is sharded, so the
+# first FFT cannot run locally. One all-to-all along the 'x' ring trades
+# rows for columns ("pencils"): device (iy, ix) ends up with the full x
+# extent of rows [(iy*px + ix) * ny/(py*px), ...) — a pure row
+# decomposition over the *combined* ('y','x') axis (row-major flattened
+# index iy*px + ix, exactly lax.axis_index(('y','x'))). The proven 1-D
+# transpose-FFT core then runs unchanged over the combined axis, and a
+# final all-to-all puts the result back in the 2-D block layout. Total
+# collective cost: 2 extra all-to-alls over the 'x' subring on top of the
+# 1-D scheme's 2 combined-axis all-to-alls.
+
+
+def _pencilize(block: jnp.ndarray, x_axis: str = "x") -> jnp.ndarray:
+    """(ny_loc, nx_loc) 2-D-sharded block -> (ny_loc/px, nx) x-local pencil.
+
+    Must run inside shard_map over a mesh that includes `x_axis`. Rows of
+    the pencil are globally ordered by the combined row-block index
+    iy*px + ix.
+    """
+    px = lax.axis_size(x_axis)
+    if px == 1:
+        return block
+    ny_loc, nx_loc = block.shape
+    if ny_loc % px:
+        raise ValueError(
+            f"local rows {ny_loc} must divide the x-ring size {px}")
+    parts = block.reshape(px, ny_loc // px, nx_loc)
+    # split_axis=0 scatters row-part j to x-neighbor j; received parts
+    # stack at axis 1 = column chunks in source order -> full x extent.
+    sw = lax.all_to_all(parts, x_axis, split_axis=0, concat_axis=1,
+                        tiled=False)                  # (ny_pen, px, nx_loc)
+    return sw.reshape(ny_loc // px, px * nx_loc)
+
+
+def _unpencilize(pencil: jnp.ndarray, x_axis: str = "x") -> jnp.ndarray:
+    """Inverse of _pencilize: (ny_pen, nx) -> (ny_loc, nx_loc)."""
+    px = lax.axis_size(x_axis)
+    if px == 1:
+        return pencil
+    ny_pen, nx = pencil.shape
+    parts = pencil.reshape(ny_pen, px, nx // px)
+    sw = lax.all_to_all(parts, x_axis, split_axis=1, concat_axis=0,
+                        tiled=False)                  # (px, ny_pen, nx_loc)
+    return sw.reshape(px * ny_pen, nx // px)
+
+
+def spectral_apply_distributed_2d(
+    f_local: jnp.ndarray, symbol_fn: Callable, y_axis: str = "y",
+    x_axis: str = "x",
+):
+    """2-D-mesh version of spectral_apply_distributed.
+
+    Must be called inside shard_map over a ('y','x') mesh with the field
+    sharded on both trailing dims. Pencil-izes along the x ring, runs the
+    1-D transpose-FFT core over the combined ('y','x') axis, and restores
+    the block layout.
+    """
+    pencil = _pencilize(f_local, x_axis)
+    out = spectral_apply_distributed(pencil, symbol_fn, (y_axis, x_axis))
+    return _unpencilize(out, x_axis)
+
+
+def distributed_poisson_solve_2d(
+    f_local: jnp.ndarray, dx: float, dy: float, y_axis: str = "y",
+    x_axis: str = "x", kind: str = "laplacian5",
+):
+    """2-D-block-sharded Poisson solve matching ops.spectral.poisson_solve.
+
+    Must run inside shard_map over a ('y','x') mesh. Zero-mean gauge.
+    """
+    pencil = _pencilize(f_local, x_axis)
+    out = distributed_poisson_solve(pencil, dx, dy, (y_axis, x_axis), kind)
+    return _unpencilize(out, x_axis)
+
+
+def make_distributed_poisson_2d(mesh: Mesh, ny: int, nx: int, dx: float,
+                                dy: float, kind: str = "laplacian5"):
+    """Jitted whole-array Poisson solve sharded over a ('y','x') mesh."""
+    py = mesh.shape["y"]
+    px = mesh.shape["x"]
+    n = py * px
+    if ny % (py * px) or (ny // py) % px:
+        raise ValueError(f"ny={ny} must divide py*px={n} with local rows "
+                         f"divisible by px={px}")
+    if nx % n:
+        raise ValueError(f"nx={nx} must divide the total device count {n} "
+                         "(the transpose FFT re-shards x)")
+
+    def local(f):
+        return distributed_poisson_solve_2d(f, dx, dy, "y", "x", kind)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P("y", "x"),
+                       out_specs=P("y", "x"), check_vma=False)
     return jax.jit(fn)

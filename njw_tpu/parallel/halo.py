@@ -423,6 +423,10 @@ def sharded_barotropic_step(
     """Multi-chip barotropic vorticity step over a 1-D ('y',) row
     decomposition: per-stage distributed transpose-FFT Poisson inversion +
     y halo exchange for the Arakawa Jacobian.
+
+    A 2-axis ('y','x') mesh with px > 1 dispatches to the 2-D
+    decomposition (pencil transpose FFT + 2-D halo exchange,
+    sharded_barotropic_step_2d).
     """
     from njw_tpu.parallel.fft import distributed_poisson_solve
     from njw_tpu.weather.barotropic import BarotropicState
@@ -430,6 +434,9 @@ def sharded_barotropic_step(
 
     if grid.bc != "periodic":
         raise NotImplementedError("barotropic requires periodic BC")
+    if mesh.devices.ndim == 2 and mesh.devices.shape[1] > 1:
+        return sharded_barotropic_step_2d(
+            grid, params, mesh, dt=dt, method=method, n_steps=n_steps)
     n_dev = mesh.devices.size
     if grid.ny % n_dev or grid.nx % n_dev:
         raise ValueError(
@@ -474,6 +481,101 @@ def sharded_barotropic_step(
     from njw_tpu.weather.barotropic import BarotropicState as BS
 
     spec = BS(zeta=P("y", None))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _arakawa_padded_2d(p: jnp.ndarray, z: jnp.ndarray, dx: float,
+                       dy: float):
+    """Arakawa Jacobian on fully halo-padded (ly+2, lx+2) blocks (both
+    axes exchanged). Same arithmetic as weather.barotropic
+    .arakawa_jacobian; pure slicing, no rolls."""
+    ly = p.shape[-2] - 2
+    lx = p.shape[-1] - 2
+
+    def sh(f, dx_, dy_):
+        return f[..., 1 + dy_: 1 + dy_ + ly, 1 + dx_: 1 + dx_ + lx]
+
+    pE, pW = sh(p, 1, 0), sh(p, -1, 0)
+    pN, pS = sh(p, 0, 1), sh(p, 0, -1)
+    pNE, pNW = sh(p, 1, 1), sh(p, -1, 1)
+    pSE, pSW = sh(p, 1, -1), sh(p, -1, -1)
+    zE, zW = sh(z, 1, 0), sh(z, -1, 0)
+    zN, zS = sh(z, 0, 1), sh(z, 0, -1)
+    zNE, zNW = sh(z, 1, 1), sh(z, -1, 1)
+    zSE, zSW = sh(z, 1, -1), sh(z, -1, -1)
+
+    j1 = (pE - pW) * (zN - zS) - (pN - pS) * (zE - zW)
+    j2 = (pE * (zNE - zSE) - pW * (zNW - zSW)
+          - pN * (zNE - zNW) + pS * (zSE - zSW))
+    j3 = (zN * (pNE - pNW) - zS * (pSE - pSW)
+          - zE * (pNE - pSE) + zW * (pNW - pSW))
+    return (j1 + j2 + j3) / (12.0 * dx * dy)
+
+
+def sharded_barotropic_step_2d(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    method: str = "rk4", n_steps: int = 1,
+):
+    """Multi-chip barotropic vorticity step over a 2-D ('y','x') mesh:
+    per-stage PENCIL transpose-FFT Poisson inversion (parallel.fft
+    ._pencilize + the combined-axis 1-D core) + 2-D halo exchange for the
+    Arakawa Jacobian. The reference has no distributed solver of any kind
+    (SURVEY §5.8); this is the config-3 path at pod scale where a 1-D ring
+    would run out of rows.
+    """
+    from njw_tpu.parallel.fft import distributed_poisson_solve_2d
+    from njw_tpu.weather.barotropic import BarotropicState
+    from njw_tpu.weather.integrators import make_stepper
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("barotropic requires periodic BC")
+    py, px = mesh.shape["y"], mesh.shape["x"]
+    n_dev = py * px
+    if grid.ny % py or grid.nx % px:
+        raise ValueError(f"grid {grid.ny}x{grid.nx} must tile the "
+                         f"({py},{px}) mesh")
+    if (grid.ny // py) % px or grid.ny % n_dev or grid.nx % n_dev:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} must divide the {n_dev}-device mesh "
+            "in BOTH axes (the pencil transpose FFT re-shards x)")
+    beta = params.beta
+    nu = params.viscosity
+
+    def local_tendency(s: BarotropicState) -> BarotropicState:
+        zeta = s.zeta
+        psi = distributed_poisson_solve_2d(zeta, grid.dx, grid.dy, "y", "x")
+        pp = halo_pad_2d(psi, 1)
+        zp = halo_pad_2d(zeta, 1)
+        dz = -_arakawa_padded_2d(pp, zp, grid.dx, grid.dy)
+        if not (isinstance(beta, (int, float)) and beta == 0.0):
+            v = (pp[..., 1:-1, 2:] - pp[..., 1:-1, :-2]) * (0.5 / grid.dx)
+            dz = dz - beta * v
+        if not (isinstance(nu, (int, float)) and nu == 0.0):
+            lap_x = (zp[..., 1:-1, 2:] - 2 * zeta
+                     + zp[..., 1:-1, :-2]) / (grid.dx * grid.dx)
+            lap_y = (zp[..., 2:, 1:-1] - 2 * zeta
+                     + zp[..., :-2, 1:-1]) / (grid.dy * grid.dy)
+            dz = dz + nu * (lap_x + lap_y)
+        return BarotropicState(zeta=dz)
+
+    stepper = make_stepper(method, local_tendency)
+    dt_f = jnp.float32(dt)
+
+    def local_steps(state):
+        carry = stepper.init(state)
+
+        def body(cs, _):
+            c, s = cs
+            c, s = stepper.step(c, s, dt_f)
+            return (c, s), None
+
+        (carry, state), _ = lax.scan(body, (carry, state), None,
+                                     length=n_steps)
+        return state
+
+    spec = BarotropicState(zeta=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
     return jax.jit(step_fn, donate_argnums=(0,))
