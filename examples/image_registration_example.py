@@ -1,32 +1,129 @@
-"""Registration example (ref: medical image_registration_example role):
-rigid + deformable B-spline recovery of a synthetic transform."""
+#!/usr/bin/env python
+"""Image registration study (ref parity: medical image_registration
+example role; ImageRegistration surface, medical_imaging.hpp:923):
+recover a known synthetic transform with rigid/affine gradient-descent
+registration (MSE or mutual-information metric — the whole optimization
+is jitted autodiff, replacing the reference's hand-written warp +
+MI CUDA kernels, registration_kernels.cu:50-685), then refine a residual
+smooth warp with deformable B-spline registration.
+
+    python examples/image_registration_example.py --size 128 \
+        --metric mse --ty 4 --tx -3 --theta 0.08 --grid-shape 8 8 --json
+"""
+import argparse
+import json
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from njw_tpu.medical.registration import (
-    register_deformable, register_images, warp_image,
-)
+import numpy as np
+
+
+def make_image(n: int) -> np.ndarray:
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32)
+    img = (np.sin(x / 7) * np.cos(y / 9)
+           + np.exp(-((x - n * 0.5) ** 2 + (y - n * 0.42) ** 2)
+                    / (n * 3.2))
+           + 0.5 * np.exp(-((x - n * 0.25) ** 2 + (y - n * 0.7) ** 2)
+                          / (n * 1.5)))
+    return img.astype(np.float32)
+
+
+def rmse(a, b) -> float:
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
 
 
 def main():
-    y, x = np.mgrid[0:96, 0:96].astype(np.float32)
-    fixed = (np.sin(x / 7) * np.cos(y / 9)
-             + np.exp(-((x - 48) ** 2 + (y - 40) ** 2) / 300))
-    moving = np.asarray(warp_image(fixed, [4.0, -3.0, 0.08, 1.0, 1.0]))
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--size", type=int, default=96)
+    p.add_argument("--metric", default="mse", choices=["mse", "mi"])
+    p.add_argument("--method", default="rigid",
+                   choices=["rigid", "affine"])
+    p.add_argument("--ty", type=float, default=4.0,
+                   help="true y translation (pixels)")
+    p.add_argument("--tx", type=float, default=-3.0)
+    p.add_argument("--theta", type=float, default=0.08,
+                   help="true rotation (radians)")
+    p.add_argument("--iterations", type=int, default=300)
+    p.add_argument("--grid-shape", type=int, nargs=2, default=[6, 6],
+                   help="B-spline control grid for the deformable stage")
+    p.add_argument("--deformable-iterations", type=int, default=150)
+    p.add_argument("--bump", type=float, default=1.5,
+                   help="amplitude (px) of the residual smooth warp the "
+                        "deformable stage must recover")
+    p.add_argument("--output-dir", default=None,
+                   help="write before/after PNGs here")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
 
-    params, warped, hist = register_images(fixed, moving, method="rigid",
-                                           n_iterations=300)
-    print(f"recovered [ty tx theta]: {params[:3].round(2)} "
-          f"(true ~ [-4, 3, -0.08] inverse)")
-    print(f"rigid loss: {hist[0]:.4f} -> {hist[-1]:.4f}")
+    from njw_tpu.medical.registration import (
+        bspline_displacement, register_deformable, register_images,
+        warp_deformable, warp_image,
+    )
+
+    fixed = make_image(args.size)
+    true_params = [args.ty, args.tx, args.theta, 1.0, 1.0]
+    moving = np.asarray(warp_image(fixed, true_params))
+
+    # add a smooth residual deformation the rigid stage cannot explain
+    rng = np.random.default_rng(0)
+    ctrl_true = (args.bump * rng.standard_normal(
+        (2, 4, 4))).astype(np.float32)
+    moving = np.asarray(warp_deformable(moving, ctrl_true))
+
+    params, warped, hist = register_images(
+        fixed, moving, method=args.method, metric=args.metric,
+        n_iterations=args.iterations, pyramid_levels=3,
+        optimizer="adam", learning_rate=0.5)
+    rigid = {
+        "recovered": [round(float(v), 3) for v in params[:3]],
+        "true_inverse_approx": [-args.ty, -args.tx, -args.theta],
+        "loss_first": round(float(hist[0]), 5),
+        "loss_last": round(float(hist[-1]), 5),
+        "rmse_before": round(rmse(fixed, moving), 4),
+        "rmse_after": round(rmse(fixed, warped), 4),
+    }
 
     ctrl, warped_d, hist_d = register_deformable(
-        fixed, warped, grid_shape=(6, 6), n_iterations=150)
-    print(f"deformable refinement loss: {hist_d[0]:.5f} -> {hist_d[-1]:.5f}")
+        fixed, warped, grid_shape=tuple(args.grid_shape),
+        n_iterations=args.deformable_iterations)
+    disp = np.asarray(bspline_displacement(ctrl, fixed.shape))
+    deformable = {
+        "rmse_after": round(rmse(fixed, warped_d), 4),
+        "loss_first": round(float(hist_d[0]), 5),
+        "loss_last": round(float(hist_d[-1]), 5),
+        "max_displacement_px": round(float(np.abs(disp).max()), 3),
+    }
+
+    out = {"size": args.size, "metric": args.metric,
+           "rigid": rigid, "deformable": deformable}
+    if args.output_dir:
+        from njw_tpu.viz import compare_images
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        path = os.path.join(args.output_dir, "registration.png")
+        compare_images(
+            {"fixed": fixed, "moving": moving,
+             "rigid": np.asarray(warped),
+             "rigid+deformable": np.asarray(warped_d)}, path=path)
+        out["figure"] = path
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(f"true transform  [ty tx theta] = "
+              f"[{args.ty} {args.tx} {args.theta}]")
+        print(f"recovered (inverse) = {rigid['recovered']}  "
+              f"loss {rigid['loss_first']} -> {rigid['loss_last']}")
+        print(f"RMSE vs fixed: {rigid['rmse_before']} (moving) -> "
+              f"{rigid['rmse_after']} (rigid) -> "
+              f"{deformable['rmse_after']} (deformable)")
+        print(f"deformable max |displacement| = "
+              f"{deformable['max_displacement_px']} px "
+              f"(injected bump amplitude {args.bump} px)")
+        if args.output_dir:
+            print(f"figure: {out['figure']}")
 
 
 if __name__ == "__main__":

@@ -87,35 +87,78 @@ def mutual_information(a, b, n_bins: int = 32, sigma: float = 0.5):
                           - jnp.log(pa[:, None] * pb[None, :] + eps)))
 
 
+def _downsample2(img):
+    """2x box downsample (crops odd edges)."""
+    h, w = img.shape[0] // 2 * 2, img.shape[1] // 2 * 2
+    v = img[:h, :w]
+    return 0.25 * (v[::2, ::2] + v[1::2, ::2] + v[::2, 1::2]
+                   + v[1::2, 1::2])
+
+
 def register_images(fixed, moving, *, metric: str = "mse",
                     method: str = "rigid", n_iterations: int = 200,
-                    learning_rate: float = 0.05):
+                    learning_rate: float = 0.05,
+                    pyramid_levels: int = 1, optimizer: str = "gd"):
     """Gradient-descent registration. Returns (params, warped, history).
 
     method: 'rigid' (ty, tx, theta) or 'affine' (adds scales).
+    pyramid_levels > 1 enables coarse-to-fine multi-resolution: each level
+    halves the resolution; the transform found at a coarse level seeds the
+    next (translations double moving up) — this widens the capture range
+    far beyond single-level gradient descent (a 4 px shift is 1 px at /4,
+    inside the basin of attraction). optimizer='adam' uses bias-corrected
+    Adam with per-parameter step scaling (robust default lr ~0.5), 'gd'
+    the original plain gradient step.
     """
     fixed = jnp.asarray(fixed, jnp.float32)
     moving = jnp.asarray(moving, jnp.float32)
 
-    def loss(params):
-        warped = warp_image(moving, params)
-        if metric == "mse":
-            return mse_metric(fixed, warped)
-        if metric in ("mi", "mutual_information"):
-            return -mutual_information(fixed, warped)
-        raise ValueError(f"unknown metric {metric!r}")
+    # build pyramids, coarsest first
+    pyr = [(fixed, moving)]
+    for _ in range(max(pyramid_levels, 1) - 1):
+        f, m = pyr[-1]
+        if min(f.shape) < 32:
+            break
+        pyr.append((_downsample2(f), _downsample2(m)))
+    pyr = pyr[::-1]
 
-    grad_fn = jax.jit(jax.value_and_grad(loss))
-    params = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0], jnp.float32)
+    def make_loss(f, m):
+        def loss(params):
+            warped = warp_image(m, params)
+            if metric == "mse":
+                return mse_metric(f, warped)
+            if metric in ("mi", "mutual_information"):
+                return -mutual_information(f, warped)
+            raise ValueError(f"unknown metric {metric!r}")
+        return loss
+
     # per-parameter step scaling: translations in px, rotation in rad
     scale = jnp.asarray([1.0, 1.0, 0.02, 0.0, 0.0], jnp.float32)
     if method == "affine":
         scale = scale.at[3:].set(0.005)
+
+    params = jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0], jnp.float32)
     history = []
-    for _ in range(n_iterations):
-        val, g = grad_fn(params)
-        params = params - learning_rate * scale * g
-        history.append(float(val))
+    iters = max(n_iterations // len(pyr), 1)
+    for lvl, (f, m) in enumerate(pyr):
+        if lvl > 0:  # translations double at each finer level
+            params = params * jnp.asarray([2.0, 2.0, 1.0, 1.0, 1.0],
+                                          jnp.float32)
+        grad_fn = jax.jit(jax.value_and_grad(make_loss(f, m)))
+        mom = jnp.zeros_like(params)
+        vel = jnp.zeros_like(params)
+        for i in range(iters):
+            val, g = grad_fn(params)
+            if optimizer == "adam":
+                mom = 0.9 * mom + 0.1 * g
+                vel = 0.999 * vel + 0.001 * g * g
+                mhat = mom / (1.0 - 0.9 ** (i + 1))
+                vhat = vel / (1.0 - 0.999 ** (i + 1))
+                step = mhat / (jnp.sqrt(vhat) + 1e-8)
+            else:
+                step = g
+            params = params - learning_rate * scale * step
+            history.append(float(val))
     return np.asarray(params), np.asarray(warp_image(moving, params)), history
 
 

@@ -355,6 +355,22 @@ class TestRegistration:
         assert hist[-1] < hist[0] * 0.3
         assert abs(params[0] - 4.0) < 1.0 and abs(params[1] + 3.0) < 1.0
 
+    def test_multiresolution_adam_recovers_large_transform(self):
+        """Coarse-to-fine + Adam recovers a shift+rotation that plain
+        single-level GD at default lr cannot (textured image, 4 px /
+        0.08 rad)."""
+        y, x = np.mgrid[0:96, 0:96].astype(np.float32)
+        fixed = (np.sin(x / 7) * np.cos(y / 9)
+                 + np.exp(-((x - 48) ** 2 + (y - 40) ** 2) / 300))
+        moving = np.asarray(warp_image(fixed, [4.0, -3.0, 0.08, 1.0, 1.0]))
+        params, warped, hist = register_images(
+            fixed, moving, metric="mse", n_iterations=300,
+            pyramid_levels=3, optimizer="adam", learning_rate=0.5)
+        assert abs(params[0] + 4.0) < 0.7
+        assert abs(params[1] - 3.0) < 0.7
+        assert abs(params[2] + 0.08) < 0.03
+        assert hist[-1] < hist[0] * 0.2
+
     def test_mutual_information_peaks_when_aligned(self):
         img = phantom()
         shifted = np.asarray(warp_image(img, [5.0, 5.0, 0.0, 1.0, 1.0]))
