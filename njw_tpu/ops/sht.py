@@ -1,0 +1,228 @@
+"""Spherical-harmonic transform (SHT) on a Gaussian grid.
+
+The reference declares ``GridType::SphericalHarmonic`` in its public enum
+but never implements it (ref: weather_sim.hpp:61-66 — declared only; every
+grid falls back to Cartesian). This module implements the capability for
+real, TPU-first:
+
+* **Setup** (associated Legendre tables, Gaussian nodes/weights) runs once
+  in float64 NumPy on the host — stable three-term recurrences, no tracing.
+* **Runtime** transforms are `rfft` along longitude plus *batched complex
+  matmuls over latitude* (``einsum('mnj,jm->mn')``) — exactly the shape the
+  MXU wants. No gathers, no sequential scans, static shapes throughout.
+
+Conventions
+-----------
+Triangular truncation T; coefficients are stored packed as a complex array
+``a[m, n]`` of shape (T+1, T+2) with entries valid for m <= n <= T (the
+n = T+1 column exists only inside the derivative tables). Legendre
+functions are orthonormalized so that ``0.5 * sum_j w_j Pbar[m,n,j]
+Pbar[m,n',j] = delta(n,n')`` on the Gaussian grid (alias-free up to the
+quadratic truncation ``T = (2*nlat - 1) // 3``).
+
+The real field is recovered as ``f = sum_m Re(F_m e^{im lambda})`` via
+``irfft``; Fourier coefficients carry the 1/nlon factor at analysis time.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_grid(nlat: int):
+    """Gaussian latitudes (ascending mu = sin(lat)) and quadrature weights."""
+    mu, w = np.polynomial.legendre.leggauss(nlat)
+    return mu, w
+
+
+def _legendre_tables(trunc: int, mu: np.ndarray):
+    """Orthonormal associated Legendre Pbar[m, n, j] and the derivative
+    table H[m, n, j] = (1 - mu^2) dPbar/dmu, n up to trunc (P internally
+    to trunc+1 for the H recurrence). float64 throughout.
+    """
+    nlat = mu.size
+    nmax = trunc + 1  # need P at n = trunc+1 for H at n = trunc
+    P = np.zeros((trunc + 1, nmax + 1, nlat))
+    sin2 = 1.0 - mu * mu
+
+    # seed: Pbar_0^0 = 1 under 0.5*int P^2 dmu = 1
+    pmm = np.ones(nlat)
+    for m in range(trunc + 1):
+        if m > 0:
+            pmm = pmm * np.sqrt((2.0 * m + 1.0) / (2.0 * m)) * np.sqrt(sin2)
+        P[m, m] = pmm
+        if m + 1 <= nmax:
+            P[m, m + 1] = np.sqrt(2.0 * m + 3.0) * mu * pmm
+        for n in range(m + 2, nmax + 1):
+            e_n = np.sqrt((n * n - m * m) / (4.0 * n * n - 1.0))
+            e_n1 = np.sqrt(((n - 1) ** 2 - m * m)
+                           / (4.0 * (n - 1) ** 2 - 1.0))
+            P[m, n] = (mu * P[m, n - 1] - e_n1 * P[m, n - 2]) / e_n
+
+    # H_n^m = -n eps_{n+1}^m P_{n+1}^m + (n+1) eps_n^m P_{n-1}^m
+    H = np.zeros((trunc + 1, nmax + 1, nlat))
+    for m in range(trunc + 1):
+        for n in range(m, nmax):
+            e_np1 = np.sqrt(((n + 1) ** 2 - m * m)
+                            / (4.0 * (n + 1) ** 2 - 1.0))
+            h = -n * e_np1 * P[m, n + 1]
+            if n - 1 >= m:
+                e_n = np.sqrt((n * n - m * m) / (4.0 * n * n - 1.0))
+                h = h + (n + 1) * e_n * P[m, n - 1]
+            H[m, n] = h
+    return P, H
+
+
+class SphericalHarmonicTransform:
+    """Forward/inverse SHT plus the spectral differential operators a
+    spectral dynamical core needs.
+
+    Parameters
+    ----------
+    nlat : Gaussian latitudes. nlon = 2*nlat. Truncation defaults to the
+        alias-free quadratic limit (2*nlat - 1) // 3 (nlat=32 -> T21).
+    radius : sphere radius (m); enters the Laplacian and wind operators.
+    """
+
+    def __init__(self, nlat: int, trunc: int | None = None,
+                 radius: float = 6.371e6, dtype=jnp.float32):
+        self.nlat = int(nlat)
+        self.nlon = 2 * self.nlat
+        self.trunc = int(trunc) if trunc is not None else \
+            (2 * self.nlat - 1) // 3
+        if self.trunc + 1 > self.nlat:
+            raise ValueError("truncation too high for nlat (need T+1<=nlat)")
+        self.radius = float(radius)
+
+        mu, w = gaussian_grid(self.nlat)
+        P, H = _legendre_tables(self.trunc, mu)
+        self.mu = mu                      # (nlat,) ascending, numpy f64
+        self.lats = np.arcsin(mu)         # radians
+        self.lons = 2.0 * np.pi * np.arange(self.nlon) / self.nlon
+        self.quad_w = w
+
+        cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
+        self.dtype, self.cdtype = dtype, cdtype
+        # runtime tables (m, n, lat): P for synthesis, 0.5*w*P for analysis,
+        # H and 0.5*w*H/(1-mu^2) for wind synthesis / divergence analysis
+        self._P = jnp.asarray(P[:, : self.trunc + 2, :], dtype)
+        self._Pw = jnp.asarray(0.5 * w * P[:, : self.trunc + 2, :], dtype)
+        self._H = jnp.asarray(H[:, : self.trunc + 2, :], dtype)
+        self._Hw_over_c2 = jnp.asarray(
+            0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :], dtype)
+        self._Pw_over_c2 = jnp.asarray(
+            0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :], dtype)
+
+        n = np.arange(self.trunc + 2)
+        m = np.arange(self.trunc + 1)
+        valid = (n[None, :] >= m[:, None]) & (n[None, :] <= self.trunc)
+        self._valid = jnp.asarray(valid)
+        lap = -n * (n + 1.0) / self.radius**2          # (T+2,)
+        self._lap = jnp.asarray(np.where(valid, lap[None, :], 0.0), dtype)
+        inv_lap = np.zeros_like(lap)
+        inv_lap[1:] = -self.radius**2 / (n[1:] * (n[1:] + 1.0))
+        self._inv_lap = jnp.asarray(
+            np.where(valid, inv_lap[None, :], 0.0), dtype)
+        self._im = jnp.asarray(1j * m, cdtype)          # (T+1,)
+        self.spec_shape = (self.trunc + 1, self.trunc + 2)
+
+    # -- core transforms ---------------------------------------------------
+
+    def analysis(self, f):
+        """Grid (nlat, nlon) -> packed spectral (T+1, T+2) complex."""
+        F = jnp.fft.rfft(jnp.asarray(f, self.dtype), axis=-1) / self.nlon
+        F = F[..., : self.trunc + 1]                    # (lat, m)
+        a = jnp.einsum("mnj,...jm->...mn", self._Pw, F)
+        return jnp.where(self._valid, a, 0.0).astype(self.cdtype)
+
+    def synthesis(self, a):
+        """Packed spectral -> grid (nlat, nlon) real."""
+        F = jnp.einsum("mnj,...mn->...jm", self._P, a)
+        return self._to_grid(F)
+
+    def _to_grid(self, F):
+        pad = self.nlon // 2 + 1 - F.shape[-1]
+        F = jnp.pad(F, [(0, 0)] * (F.ndim - 1) + [(0, pad)])
+        return jnp.fft.irfft(F * self.nlon, n=self.nlon, axis=-1) \
+            .astype(self.dtype)
+
+    def _fourier(self, f):
+        """Grid -> truncated Fourier coefficients (lat, m)."""
+        F = jnp.fft.rfft(jnp.asarray(f, self.dtype), axis=-1) / self.nlon
+        return F[..., : self.trunc + 1]
+
+    # -- differential operators --------------------------------------------
+
+    def laplacian(self, a):
+        return a * self._lap
+
+    def inverse_laplacian(self, a):
+        """psi with Lap psi = a; n=0 mode set to zero."""
+        return a * self._inv_lap
+
+    def d_dlon(self, a):
+        return a * self._im[:, None]
+
+    def uv_from_psi_chi(self, psi, chi):
+        """Pseudo-winds U = u cos(lat), V = v cos(lat) on the grid from
+        spectral streamfunction / velocity potential.
+
+        U = (1/a)[dchi/dlon - (1-mu^2) dpsi/dmu]
+        V = (1/a)[dpsi/dlon + (1-mu^2) dchi/dmu]
+        """
+        inv_a = 1.0 / self.radius
+        FU = (jnp.einsum("mnj,mn->jm", self._P, self.d_dlon(chi))
+              - jnp.einsum("mnj,mn->jm", self._H, psi + 0j)) * inv_a
+        FV = (jnp.einsum("mnj,mn->jm", self._P, self.d_dlon(psi))
+              + jnp.einsum("mnj,mn->jm", self._H, chi + 0j)) * inv_a
+        return self._to_grid(FU), self._to_grid(FV)
+
+    def divergence_of(self, A, B):
+        """Spectral coefficients of div(A, B) / cos^2 pseudo-vector pair:
+        {div}_n^m = (1/a) sum_j w_j/(1-mu^2) [ im A P  -  B H ] / 2.
+
+        A, B are grid fields of the pseudo-vector (X cos(lat) components),
+        i.e. this returns the spectral divergence of the TRUE vector field
+        (X, Y) where A = X cos(lat), B = Y cos(lat).
+        """
+        FA, FB = self._fourier(A), self._fourier(B)
+        d = (jnp.einsum("mnj,jm->mn", self._Pw_over_c2,
+                        FA * self._im[None, :])
+             - jnp.einsum("mnj,jm->mn", self._Hw_over_c2, FB + 0j))
+        return jnp.where(self._valid, d / self.radius, 0.0) \
+            .astype(self.cdtype)
+
+    def curl_of(self, A, B):
+        """Spectral k . curl(X, Y) for the same pseudo-vector convention."""
+        FA, FB = self._fourier(A), self._fourier(B)
+        c = (jnp.einsum("mnj,jm->mn", self._Pw_over_c2,
+                        FB * self._im[None, :])
+             + jnp.einsum("mnj,jm->mn", self._Hw_over_c2, FA + 0j))
+        return jnp.where(self._valid, c / self.radius, 0.0) \
+            .astype(self.cdtype)
+
+    # -- helpers -------------------------------------------------------------
+
+    def grid_of_mu(self):
+        """(nlat, nlon) broadcast of mu = sin(lat)."""
+        return jnp.asarray(
+            np.broadcast_to(self.mu[:, None], (self.nlat, self.nlon)).copy(),
+            self.dtype)
+
+    def cos_lat(self):
+        return jnp.asarray(
+            np.broadcast_to(np.sqrt(1.0 - self.mu**2)[:, None],
+                            (self.nlat, self.nlon)).copy(), self.dtype)
+
+    def spectral_mode(self, m: int, n: int, amplitude: float = 1.0):
+        """Packed coefficients of amplitude * Re(Y_n^m) as a real field."""
+        a = jnp.zeros(self.spec_shape, self.cdtype)
+        return a.at[m, n].set(amplitude if m == 0 else amplitude / 2.0)
+
+    def global_mean(self, f):
+        w = jnp.asarray(self.quad_w, self.dtype)
+        return jnp.sum(w[:, None] * jnp.asarray(f, self.dtype)) \
+            / (2.0 * self.nlon)

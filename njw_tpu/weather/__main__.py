@@ -34,9 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bc", default="periodic",
                    choices=["periodic", "clamped", "outflow", "reflective"])
     p.add_argument("--grid-type", default="cartesian",
-                   choices=["cartesian", "staggered"],
+                   choices=["cartesian", "staggered", "spherical_harmonic"],
                    help="cartesian = collocated A-grid; staggered = "
-                        "Arakawa C-grid (Sadourny enstrophy-conserving)")
+                        "Arakawa C-grid (Sadourny enstrophy-conserving); "
+                        "spherical_harmonic = global spectral core on a "
+                        "Gaussian grid (width must be 2x height)")
     p.add_argument("--mountain-height", type=float, default=0.0,
                    help="gaussian orography peak (geopotential m^2/s^2); "
                         "primitive model only")
@@ -88,6 +90,10 @@ def main(argv=None) -> int:
     )
     if args.model == "primitive" and args.initial == "vortex":
         args.initial = "baroclinic"  # PE default (vortex is SWE-only)
+    if args.grid_type == "spherical_harmonic" and args.initial == "vortex":
+        # Cartesian ICs have no spherical meaning; pick the canonical one.
+        args.initial = ("rossby_haurwitz" if args.model == "barotropic"
+                        else "williamson2")
     sim_kw = {}
     if args.mountain_height > 0.0:
         if args.model != "primitive":

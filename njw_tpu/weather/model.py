@@ -180,6 +180,11 @@ class Simulation:
         grid = config.grid_spec()
         params = config.physics()
         model = config.model
+        if config.grid_type in ("spherical_harmonic", "spectral"):
+            from njw_tpu.weather.spherical import make_spherical_sim
+
+            return make_spherical_sim(cls, config, initial_condition,
+                                      **ic_params)
         if model == "barotropic":
             from njw_tpu.weather.barotropic import make_barotropic_sim
 

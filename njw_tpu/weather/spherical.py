@@ -1,0 +1,252 @@
+"""Global spectral dynamical cores on the sphere (spherical harmonics).
+
+The reference's public enum declares ``GridType::SphericalHarmonic`` but
+every simulation falls back to the Cartesian grid (ref:
+weather_sim.hpp:61-66 declared only; weather_simulation.cpp:542-549 model
+fallback). This module implements the capability for real — the classic
+spectral transform method (Bourke 1972; Hack & Jakob 1992 describe the
+canonical formulation) with two cores:
+
+* **Barotropic vorticity equation (BVE)** — prognostic spectral relative
+  vorticity; exact Rossby-Haurwitz rotation is a test invariant.
+* **Spherical shallow water** — vorticity-divergence-geopotential form
+  (the vector-invariant momentum equation), validated against Williamson
+  et al. (1992) test case 2 (steady geostrophic flow).
+
+TPU-first by construction: all runtime work is rfft + batched matmuls
+over latitude (njw_tpu.ops.sht) — MXU-shaped, static, gather-free. The
+nonlinear products are formed on the Gaussian grid (transform method) so
+the quadratic terms are alias-free at T = (2*nlat - 1)/3.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njw_tpu.ops.sht import SphericalHarmonicTransform
+from njw_tpu.utils.pytree import pytree_dataclass
+
+EARTH_RADIUS = 6.371e6       # m
+EARTH_OMEGA = 7.292e-5       # rad/s
+
+
+@pytree_dataclass
+class SphericalBarotropicState:
+    zeta: jnp.ndarray  # packed spectral relative vorticity (T+1, T+2) complex
+
+
+@pytree_dataclass
+class SphericalSWEState:
+    zeta: jnp.ndarray  # spectral relative vorticity
+    div: jnp.ndarray   # spectral divergence
+    phi: jnp.ndarray   # spectral geopotential g*h
+
+
+def coriolis_spectral(sht: SphericalHarmonicTransform, omega: float):
+    """f = 2 Omega mu is proportional to Y_1^0: exact spectral coefficient."""
+    # mu = Pbar_1^0 / sqrt(3) under this normalization
+    a = jnp.zeros(sht.spec_shape, sht.cdtype)
+    return a.at[0, 1].set(2.0 * omega / np.sqrt(3.0))
+
+
+def bve_tendencies(s: SphericalBarotropicState,
+                   sht: SphericalHarmonicTransform,
+                   omega: float, nu4: float = 0.0):
+    """d zeta / dt = -div((zeta + f) V) for nondivergent V from psi."""
+    zeta = s.zeta
+    psi = sht.inverse_laplacian(zeta)
+    zero = jnp.zeros_like(psi)
+    U, V = sht.uv_from_psi_chi(psi, zero)
+    f_grid = 2.0 * omega * sht.grid_of_mu()
+    eta = sht.synthesis(zeta) + f_grid
+    dzeta = -sht.divergence_of(U * eta, V * eta)
+    if nu4:
+        dzeta = dzeta - nu4 * (sht._lap ** 2) * zeta
+    return SphericalBarotropicState(zeta=dzeta)
+
+
+def swe_tendencies(s: SphericalSWEState, sht: SphericalHarmonicTransform,
+                   omega: float, nu4: float = 0.0):
+    """Vector-invariant spherical shallow water (Williamson et al. 1992):
+
+        d zeta/dt = -div(eta V)
+        d div /dt =  curl(eta V) - Lap(Phi + (u^2+v^2)/2)
+        d Phi /dt = -div(Phi V)
+
+    with eta = zeta + f, Phi = g h (flat bottom). All products on the grid.
+    """
+    psi = sht.inverse_laplacian(s.zeta)
+    chi = sht.inverse_laplacian(s.div)
+    U, V = sht.uv_from_psi_chi(psi, chi)
+    f_grid = 2.0 * omega * sht.grid_of_mu()
+    eta = sht.synthesis(s.zeta) + f_grid
+    phi_g = sht.synthesis(s.phi)
+    inv_c2 = 1.0 / sht.cos_lat() ** 2
+    energy = 0.5 * (U * U + V * V) * inv_c2
+
+    dzeta = -sht.divergence_of(U * eta, V * eta)
+    ddiv = (sht.curl_of(U * eta, V * eta)
+            - sht.laplacian(s.phi + sht.analysis(energy)))
+    dphi = -sht.divergence_of(U * phi_g, V * phi_g)
+    if nu4:
+        damp = nu4 * (sht._lap ** 2)
+        dzeta = dzeta - damp * s.zeta
+        ddiv = ddiv - damp * s.div
+        dphi = dphi - damp * s.phi
+    return SphericalSWEState(zeta=dzeta, div=ddiv, phi=dphi)
+
+
+# -- initial conditions ------------------------------------------------------
+
+def rossby_haurwitz_bve(sht, m: int = 4, n: int = 5,
+                        amplitude: float = 8.0e-5):
+    """Single-harmonic Rossby-Haurwitz vorticity: an EXACT solution of the
+    nonlinear BVE that retrogresses at angular rate -2*Omega/(n*(n+1))."""
+    return SphericalBarotropicState(
+        zeta=sht.spectral_mode(m, n, amplitude))
+
+
+def williamson2_state(sht, omega: float, *, u0: float = 2.0 * np.pi
+                      * EARTH_RADIUS / (12.0 * 86400.0),
+                      gh0: float = 2.94e4):
+    """Williamson et al. (1992) TC2: steady zonal geostrophic flow.
+
+    u = u0 cos(lat), v = 0, gh = gh0 - (a*Omega*u0 + u0^2/2) sin^2(lat);
+    zeta = (2 u0 / a) sin(lat), div = 0. Exact steady state of the SWE.
+    """
+    a = sht.radius
+    mu = sht.grid_of_mu()
+    zeta_g = (2.0 * u0 / a) * mu
+    phi_g = gh0 - (a * omega * u0 + 0.5 * u0 * u0) * mu * mu
+    return SphericalSWEState(
+        zeta=sht.analysis(zeta_g),
+        div=jnp.zeros(sht.spec_shape, sht.cdtype),
+        phi=sht.analysis(phi_g),
+    )
+
+
+def rossby_haurwitz_swe(sht, omega: float, *, R: int = 4,
+                        K: float = 7.848e-6, gh0: float = 9.80616 * 8000.0):
+    """Williamson TC6: the full wavenumber-4 Rossby-Haurwitz SWE state.
+
+    Vorticity/height fields per Williamson et al. (1992) eqs 141-149.
+    """
+    a = sht.radius
+    mu = np.asarray(sht.mu)
+    lat = np.arcsin(mu)
+    lon = np.asarray(sht.lons)
+    coslat = np.cos(lat)[:, None]
+    lam = lon[None, :]
+    w = K  # same rotational amplitude for the zonal part
+
+    # streamfunction psi = -a^2 w mu + a^2 K coslat^R mu cos(R lam)
+    # -> vorticity zeta = 2 w mu - K mu coslat^R (R^2 + 3R + 2) cos(R lam)
+    zeta_g = (2.0 * w * mu[:, None]
+              - K * mu[:, None] * coslat ** R
+              * (R * R + 3.0 * R + 2.0) * np.cos(R * lam))
+
+    # geopotential: gh = gh0 + a^2 [A(lat) + B(lat) cos(R lam)
+    #                               + C(lat) cos(2 R lam)]
+    c2 = coslat ** 2
+    A = (w / 2.0 * (2.0 * omega + w) * c2
+         + 0.25 * K * K * coslat ** (2 * R)
+         * ((R + 1.0) * c2 + (2.0 * R * R - R - 2.0)
+            - 2.0 * R * R / np.maximum(c2, 1e-12)))
+    B = (2.0 * (omega + w) * K / ((R + 1.0) * (R + 2.0)) * coslat ** R
+         * ((R * R + 2.0 * R + 2.0) - (R + 1.0) ** 2 * c2))
+    C = 0.25 * K * K * coslat ** (2 * R) * ((R + 1.0) * c2 - (R + 2.0))
+    phi_g = gh0 + a * a * (A + B * np.cos(R * lam) + C * np.cos(2 * R * lam))
+
+    return SphericalSWEState(
+        zeta=sht.analysis(jnp.asarray(zeta_g, sht.dtype)),
+        div=jnp.zeros(sht.spec_shape, sht.cdtype),
+        phi=sht.analysis(jnp.asarray(phi_g, sht.dtype)),
+    )
+
+
+# -- Simulation wiring -------------------------------------------------------
+
+def make_spherical_sim(sim_cls, config, initial_condition: str,
+                       **ic_params):
+    """Build a Simulation on the spherical-harmonic grid.
+
+    config.model selects the core: 'barotropic' -> BVE,
+    'shallow_water'/'general' -> spectral SWE. grid_height = nlat,
+    grid_width = nlon (must be 2*nlat). Physical constants default to
+    Earth; override with ic_params radius= / omega= / nu4=.
+    """
+    nlat = config.grid_height
+    nlon = config.grid_width
+    if nlon != 2 * nlat:
+        raise ValueError(
+            f"spherical_harmonic grid needs grid_width == 2*grid_height "
+            f"(got {nlon} x {nlat})")
+    if config.boundary_condition != "periodic":
+        raise ValueError("the sphere has no boundaries: bc must stay "
+                         "'periodic' for grid_type='spherical_harmonic'")
+    radius = float(ic_params.pop("radius", EARTH_RADIUS))
+    omega = float(ic_params.pop("omega", EARTH_OMEGA))
+    nu4 = float(ic_params.pop("nu4", 0.0))
+    sht = SphericalHarmonicTransform(nlat, radius=radius)
+
+    model = config.model
+    if model == "barotropic":
+        if initial_condition in ("rossby_haurwitz", "uniform", "default"):
+            state0 = rossby_haurwitz_bve(sht, **ic_params)
+        elif initial_condition == "random":
+            key = jax.random.key(config.random_seed)
+            zg = 1e-5 * jax.random.normal(key, (nlat, nlon))
+            state0 = SphericalBarotropicState(zeta=sht.analysis(zg))
+        else:
+            raise ValueError(
+                f"unknown spherical barotropic IC {initial_condition!r} "
+                "(use rossby_haurwitz | random)")
+        tendency = lambda s: bve_tendencies(s, sht, omega, nu4)
+
+        def output_fn(s):
+            psi = sht.inverse_laplacian(s.zeta)
+            U, V = sht.uv_from_psi_chi(psi, jnp.zeros_like(psi))
+            c = sht.cos_lat()
+            return {"zeta": sht.synthesis(s.zeta),
+                    "psi": sht.synthesis(psi),
+                    "u": U / c, "v": V / c}
+    elif model in ("shallow_water", "general"):
+        if initial_condition in ("williamson2", "zonal", "uniform",
+                                 "default"):
+            state0 = williamson2_state(sht, omega, **ic_params)
+        elif initial_condition in ("rossby_haurwitz", "williamson6"):
+            state0 = rossby_haurwitz_swe(sht, omega, **ic_params)
+        else:
+            raise ValueError(
+                f"unknown spherical SWE IC {initial_condition!r} "
+                "(use williamson2 | rossby_haurwitz)")
+        tendency = lambda s: swe_tendencies(s, sht, omega, nu4)
+
+        def output_fn(s):
+            psi = sht.inverse_laplacian(s.zeta)
+            chi = sht.inverse_laplacian(s.div)
+            U, V = sht.uv_from_psi_chi(psi, chi)
+            c = sht.cos_lat()
+            g = config.gravity or 9.80616
+            return {"h": sht.synthesis(s.phi) / g,
+                    "u": U / c, "v": V / c,
+                    "zeta": sht.synthesis(s.zeta),
+                    "divergence": sht.synthesis(s.div)}
+    else:
+        raise ValueError(
+            f"model {model!r} has no spherical-harmonic core "
+            "(use barotropic | shallow_water)")
+
+    if config.integration_method == "semi_implicit":
+        raise NotImplementedError(
+            "semi-implicit spherical SWE is not wired yet; use rk4")
+
+    sim = sim_cls(
+        state0, tendency, dt=config.dt, method=config.integration_method,
+        grid=None, output_fn=output_fn,
+    )
+    sim.config = config
+    sim.sht = sht
+    sim.omega = omega
+    return sim
