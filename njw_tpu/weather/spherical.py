@@ -165,6 +165,40 @@ def rossby_haurwitz_swe(sht, omega: float, *, R: int = 4,
     )
 
 
+def semi_implicit_spherical_swe(sht: SphericalHarmonicTransform,
+                                omega: float, *, phi_ref: float,
+                                nu4: float = 0.0):
+    """Crank-Nicolson gravity-wave stepper for the spectral SWE.
+
+    The linearized gravity-wave pair (L_div = -Lap(Phi), L_phi =
+    -phi_ref*div) is trapezoidal; because the prognostic state is already
+    spectral, the Helmholtz solve is one per-coefficient divide by
+    (1 - a^2 lap phi_ref) — no transform needed. This lifts the CFL limit
+    from sqrt(phi_ref) gravity waves to the advective speed (the method
+    the reference declares for all models and implements for none,
+    ref: weather_sim.hpp:50-56, weather_simulation.cpp:465-471).
+    """
+    from njw_tpu.weather.integrators import Stepper
+
+    lap = sht._lap  # (T+1, T+2) real eigenvalues, <= 0
+
+    def step(carry, s: SphericalSWEState, dt):
+        a = 0.5 * dt
+        full = swe_tendencies(s, sht, omega, nu4)
+        l_div = -lap * s.phi
+        l_phi = -phi_ref * s.div
+        # s* = s + dt*N + a*L(s) = s + dt*full - a*L(s)
+        zeta_s = s.zeta + dt * full.zeta
+        div_s = s.div + dt * full.div - a * l_div
+        phi_s = s.phi + dt * full.phi - a * l_phi
+        denom = 1.0 - (a * a) * lap * phi_ref
+        div_n = (div_s - a * lap * phi_s) / denom
+        phi_n = phi_s - a * phi_ref * div_n
+        return carry, SphericalSWEState(zeta=zeta_s, div=div_n, phi=phi_n)
+
+    return Stepper(lambda s: (), step, "semi_implicit", 2)
+
+
 # -- Simulation wiring -------------------------------------------------------
 
 def make_spherical_sim(sim_cls, config, initial_condition: str,
@@ -238,13 +272,19 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
             f"model {model!r} has no spherical-harmonic core "
             "(use barotropic | shallow_water)")
 
+    stepper_factory = None
     if config.integration_method == "semi_implicit":
-        raise NotImplementedError(
-            "semi-implicit spherical SWE is not wired yet; use rk4")
+        if model == "barotropic":
+            raise ValueError(
+                "semi_implicit applies to models with fast gravity-wave "
+                "modes; the spherical BVE has none — use rk4/rk2/euler.")
+        phi_ref = float(jnp.real(state0.phi[0, 0]))  # global-mean gh
+        stepper_factory = lambda _t: semi_implicit_spherical_swe(
+            sht, omega, phi_ref=phi_ref, nu4=nu4)
 
     sim = sim_cls(
         state0, tendency, dt=config.dt, method=config.integration_method,
-        grid=None, output_fn=output_fn,
+        grid=None, output_fn=output_fn, stepper_factory=stepper_factory,
     )
     sim.config = config
     sim.sht = sht

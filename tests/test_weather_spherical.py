@@ -154,6 +154,49 @@ class TestSphericalSWE:
         assert rel < 1e-5
 
 
+class TestSemiImplicit:
+    def test_stable_beyond_explicit_cfl(self):
+        """At T42 / dt=3600 s the gravity-wave CFL (|w dt| ~ 4.1) makes RK4
+        explode on TC2; the semi-implicit stepper must stay steady."""
+        sht = SphericalHarmonicTransform(64)
+        s0 = williamson2_state(sht, EARTH_OMEGA)
+        from njw_tpu.weather.integrators import make_stepper
+        from njw_tpu.weather.spherical import semi_implicit_spherical_swe
+
+        tend = lambda s: swe_tendencies(s, sht, EARTH_OMEGA)
+        phi_ref = float(jnp.real(s0.phi[0, 0]))
+        si = semi_implicit_spherical_swe(sht, EARTH_OMEGA,
+                                         phi_ref=phi_ref)
+        s_si = _run(si, s0, 3600.0, 24)  # one model day
+        p0, p1 = sht.synthesis(s0.phi), sht.synthesis(s_si.phi)
+        assert bool(jnp.all(jnp.isfinite(p1)))
+        assert float(jnp.linalg.norm(p1 - p0) / jnp.linalg.norm(p0)) < 1e-4
+
+        rk4 = make_stepper("rk4", tend)
+        s_ex = _run(rk4, s0, 3600.0, 48)
+        h_ex = sht.synthesis(s_ex.phi)
+        assert not bool(jnp.all(jnp.isfinite(h_ex))) \
+            or float(jnp.max(jnp.abs(h_ex - p0))) > 1e3
+
+    def test_small_dt_consistency_with_rk4(self, sht):
+        """At small dt the SI splitting error vanishes: TC6 after 30 min
+        must match RK4 to f32 integration tolerance."""
+        from njw_tpu.weather.integrators import make_stepper
+        from njw_tpu.weather.spherical import semi_implicit_spherical_swe
+
+        s0 = rossby_haurwitz_swe(sht, EARTH_OMEGA)
+        phi_ref = float(jnp.real(s0.phi[0, 0]))
+        si = semi_implicit_spherical_swe(sht, EARTH_OMEGA,
+                                         phi_ref=phi_ref)
+        rk4 = make_stepper("rk4", lambda s: swe_tendencies(s, sht,
+                                                           EARTH_OMEGA))
+        a = _run(si, s0, 60.0, 30)
+        b = _run(rk4, s0, 60.0, 30)
+        pa, pb = sht.synthesis(a.phi), sht.synthesis(b.phi)
+        scale = float(jnp.max(jnp.abs(pb)))
+        assert float(jnp.max(jnp.abs(pa - pb))) < 2e-4 * scale
+
+
 class TestSimulationIntegration:
     def test_from_config_bve(self):
         from njw_tpu.weather import SimConfig, Simulation
