@@ -127,6 +127,12 @@ class SphericalHarmonicTransform:
         self._inv_lap = jnp.asarray(
             np.where(valid, inv_lap[None, :], 0.0), dtype)
         self._im = jnp.asarray(1j * m, cdtype)          # (T+1,)
+        self._mu_grid = jnp.asarray(
+            np.broadcast_to(mu[:, None], (self.nlat, self.nlon)).copy(),
+            dtype)
+        self._cos_lat = jnp.asarray(
+            np.broadcast_to(np.sqrt(1.0 - mu**2)[:, None],
+                            (self.nlat, self.nlon)).copy(), dtype)
         self.spec_shape = (self.trunc + 1, self.trunc + 2)
 
     # -- core transforms ---------------------------------------------------
@@ -208,14 +214,10 @@ class SphericalHarmonicTransform:
 
     def grid_of_mu(self):
         """(nlat, nlon) broadcast of mu = sin(lat)."""
-        return jnp.asarray(
-            np.broadcast_to(self.mu[:, None], (self.nlat, self.nlon)).copy(),
-            self.dtype)
+        return self._mu_grid
 
     def cos_lat(self):
-        return jnp.asarray(
-            np.broadcast_to(np.sqrt(1.0 - self.mu**2)[:, None],
-                            (self.nlat, self.nlon)).copy(), self.dtype)
+        return self._cos_lat
 
     def spectral_mode(self, m: int, n: int, amplitude: float = 1.0):
         """Packed coefficients of amplitude * Re(Y_n^m) as a real field."""
@@ -226,3 +228,39 @@ class SphericalHarmonicTransform:
         w = jnp.asarray(self.quad_w, self.dtype)
         return jnp.sum(w[:, None] * jnp.asarray(f, self.dtype)) \
             / (2.0 * self.nlon)
+
+
+# Register the transform as a pytree so it can cross jit boundaries as an
+# ARGUMENT. This matters at scale: tables closed over in a jitted function
+# are baked into the HLO as constants (a T341 table set is ~1 GB of
+# constants, which blows up remote-compile requests); passed as pytree
+# leaves they are ordinary runtime operands.
+_SHT_LEAF_NAMES = ("_P", "_Pw", "_H", "_Hw_over_c2", "_Pw_over_c2",
+                   "_lap", "_inv_lap", "_im", "_valid",
+                   "_mu_grid", "_cos_lat")
+
+
+def _sht_flatten(sht):
+    return tuple(getattr(sht, k) for k in _SHT_LEAF_NAMES), \
+        (sht.nlat, sht.trunc, sht.radius, np.dtype(sht.dtype).name)
+
+
+def _sht_unflatten(aux, leaves):
+    nlat, trunc, radius, dtn = aux
+    obj = object.__new__(SphericalHarmonicTransform)
+    obj.nlat, obj.trunc, obj.radius = nlat, trunc, radius
+    obj.nlon = 2 * nlat
+    obj.dtype = jnp.float32 if dtn == "float32" else jnp.float64
+    obj.cdtype = jnp.complex64 if dtn == "float32" else jnp.complex128
+    obj.spec_shape = (trunc + 1, trunc + 2)
+    mu, w = gaussian_grid(nlat)
+    obj.mu, obj.quad_w = mu, w
+    obj.lats = np.arcsin(mu)
+    obj.lons = 2.0 * np.pi * np.arange(obj.nlon) / obj.nlon
+    for k, v in zip(_SHT_LEAF_NAMES, leaves):
+        setattr(obj, k, v)
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    SphericalHarmonicTransform, _sht_flatten, _sht_unflatten)

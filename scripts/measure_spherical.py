@@ -1,0 +1,102 @@
+"""Measure the global spectral (spherical-harmonic) cores on TPU vs CPU.
+
+Timing discipline: in-jit iteration-count differential (t(2K) - t(K)) / K
+with a hard D2H sync (same as scripts/measure_signal.py). The transform is
+passed as a PYTREE ARGUMENT, not a closure — at T341 the Legendre tables
+are ~1 GB and must be runtime operands, not HLO constants.
+
+  python scripts/measure_spherical.py                       # TPU rows
+  PYTHONPATH= JAX_PLATFORMS=cpu python scripts/measure_spherical.py
+
+Prints JSON lines {core, nlat, trunc, ms_per_step, platform}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    from njw_tpu.ops.sht import SphericalHarmonicTransform
+    from njw_tpu.weather.spherical import (
+        EARTH_OMEGA, bve_tendencies, rossby_haurwitz_bve,
+        rossby_haurwitz_swe, swe_tendencies,
+    )
+
+    platform = jax.devices()[0].platform
+    ax = jax.tree.map  # pytree axpy
+
+    def axpy(a, x, y):
+        return ax(lambda xi, yi: yi + a * xi, x, y)
+
+    def make_rk4(tend):
+        def step(s, sht, dt):
+            k1 = tend(s, sht)
+            k2 = tend(axpy(0.5 * dt, k1, s), sht)
+            k3 = tend(axpy(0.5 * dt, k2, s), sht)
+            k4 = tend(axpy(dt, k3, s), sht)
+            incr = ax(lambda a, b, c, d: a + 2 * b + 2 * c + d,
+                      k1, k2, k3, k4)
+            return axpy(dt / 6.0, incr, s)
+        return step
+
+    sizes = [64, 128] if platform == "cpu" else [64, 128, 256, 512]
+
+    for nlat in sizes:
+        sht = SphericalHarmonicTransform(nlat)
+        dt = jnp.float32(900.0 * 64 / nlat)
+
+        cores = {
+            "bve": (make_rk4(lambda s, t: bve_tendencies(s, t, EARTH_OMEGA)),
+                    rossby_haurwitz_bve(sht)),
+            "swe": (make_rk4(lambda s, t: swe_tendencies(
+                s, t, EARTH_OMEGA, nu4=1e15)),
+                rossby_haurwitz_swe(sht, EARTH_OMEGA)),
+        }
+
+        for name, (step, s0) in cores.items():
+            @jax.jit
+            def run(k, s, sht, step=step, dt=dt):
+                def body(i, s):
+                    return step(s, sht, dt)
+                return jax.lax.fori_loop(0, k, body, s)
+
+            def once(k, s0=s0, run=run, sht=sht):
+                t0 = time.perf_counter()
+                out = run(k, s0, sht)
+                # hard sync: tiny D2H of a real leaf
+                np.asarray(jax.tree.leaves(out)[0][:2, :2])
+                return time.perf_counter() - t0
+
+            try:
+                iters = 20 if nlat <= 256 else 8
+                once(iters)
+                once(2 * iters)
+                vals = []
+                for _ in range(3):
+                    t1 = once(iters)
+                    t2 = once(2 * iters)
+                    vals.append(max(t2 - t1, 1e-9) / iters * 1e3)
+                print(json.dumps({
+                    "core": name, "nlat": nlat, "trunc": sht.trunc,
+                    "ms_per_step": round(min(vals), 3),
+                    "platform": platform}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"core": name, "nlat": nlat,
+                                  "error": str(e)[:200]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,23 @@ class TestTransform:
         assert float(jnp.max(jnp.abs(curl - sht.laplacian(psi)))) < 1e-5 * scale + 1e-6
         assert float(jnp.max(jnp.abs(div))) < 1e-5 * scale + 1e-6
 
+    def test_sht_is_a_pytree_jit_argument(self, sht):
+        """The transform must cross jit boundaries as an ARGUMENT (tables
+        as runtime operands, not HLO constants — the T341 table set is
+        ~1 GB and would blow up remote compiles as a closure)."""
+        @jax.jit
+        def roundtrip(t, a):
+            return t.synthesis(t.laplacian(a))
+
+        a = sht.spectral_mode(2, 5)
+        out = roundtrip(sht, a)
+        want = sht.synthesis(sht.laplacian(a))
+        assert float(jnp.max(jnp.abs(out - want))) < 1e-7
+        leaves, treedef = jax.tree_util.tree_flatten(sht)
+        assert len(leaves) == 11
+        assert jax.tree_util.tree_unflatten(treedef, leaves).trunc \
+            == sht.trunc
+
     def test_quadrature_global_mean(self, sht):
         """Gaussian quadrature integrates Y_0^0 exactly; higher modes to 0."""
         one = jnp.ones((sht.nlat, sht.nlon))
