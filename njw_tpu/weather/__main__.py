@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mountain-height", type=float, default=0.0,
                    help="gaussian orography peak (geopotential m^2/s^2); "
                         "primitive model only")
+    p.add_argument("--nest-patch", default=None, metavar="Y0,Y1,X0,X1",
+                   help="two-way nested refinement patch in coarse-cell "
+                        "indices (half-open; shallow_water model only)")
+    p.add_argument("--nest-ratio", type=int, default=2,
+                   help="space/time refinement ratio for --nest-patch")
     p.add_argument("--coriolis", type=float, default=0.0)
     p.add_argument("--beta", type=float, default=0.0)
     p.add_argument("--viscosity", type=float, default=0.0)
@@ -107,7 +112,18 @@ def main(argv=None) -> int:
         sy, sx = max(args.height / 8, 1), max(args.width / 8, 1)
         sim_kw["orography"] = args.mountain_height * np.exp(
             -(((y - cy) / sy) ** 2 + ((x - cx) / sx) ** 2))
-    sim = Simulation.from_config(cfg, args.initial, **sim_kw)
+    if args.nest_patch is not None:
+        if args.model != "shallow_water" or args.grid_type != "cartesian":
+            print("error: --nest-patch requires --model shallow_water on "
+                  "the cartesian grid", file=sys.stderr)
+            return 2
+        from njw_tpu.weather.nested import make_nested_sim
+
+        patch = tuple(int(t) for t in args.nest_patch.split(","))
+        sim = make_nested_sim(Simulation, cfg, args.initial,
+                              patch=patch, ratio=args.nest_ratio, **sim_kw)
+    else:
+        sim = Simulation.from_config(cfg, args.initial, **sim_kw)
     callback = None
     if args.output_format:
         from njw_tpu.weather.output import OutputConfig, attach_output

@@ -1,0 +1,252 @@
+"""Two-way nested (refined) grids for the shallow-water core.
+
+The reference road-maps nested/refined grids but never builds them (its
+GridType enum is the closest artifact, ref: weather_sim.hpp:61-66); this
+implements real two-way nesting, TPU-first:
+
+* A rectangular refinement patch runs at ``ratio`` x finer spacing and
+  ``ratio`` x smaller dt (time refinement).
+* Prolongation (coarse -> fine ghost ring + initial fill) is bilinear,
+  built from STATIC phase-wise slice blends (no gathers — the measured
+  TPU anti-pattern); restriction (fine -> coarse feedback) is a box
+  average via reshape.
+* Per coarse step: step the coarse grid, then scan the ``ratio`` fine
+  substeps with ghost values linearly interpolated in time between the
+  bracketing coarse states, then overwrite the coarse cells under the
+  patch with the restricted fine solution (two-way feedback).
+
+Everything is static-shape and runs inside one jitted scan chunk via the
+standard Simulation driver (a custom Stepper over a NestedState pytree).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from njw_tpu.utils.pytree import pytree_dataclass
+from njw_tpu.weather.dynamics import swe_tendencies_from_shifts
+from njw_tpu.weather.grid import GridSpec, PhysicsParams, WeatherState
+from njw_tpu.weather.integrators import Stepper, make_stepper
+
+
+@pytree_dataclass
+class NestedState:
+    coarse: WeatherState
+    fine: WeatherState
+
+
+def _upsample1d_weights(ratio: int):
+    """Per-phase (offset, w) for center-aligned bilinear upsampling:
+    fine phase p sits at coarse coordinate (p + 0.5)/ratio - 0.5 relative
+    to the base coarse cell."""
+    out = []
+    for p in range(ratio):
+        x = (p + 0.5) / ratio - 0.5
+        i0 = int(np.floor(x))
+        out.append((i0, x - i0))
+    return out
+
+
+def _upsample_axis(f, ratio: int, axis: int):
+    """Bilinear upsample along one axis with static slice blends.
+
+    Input length n along axis; output length ratio*(n-1) ... we keep it
+    simple: valid-region upsampling over cells [0, n) assuming the caller
+    padded by 1 on each side, output ratio*(n-2)."""
+    n = f.shape[axis]
+
+    def sl(a, b):
+        idx = [slice(None)] * f.ndim
+        idx[axis] = slice(a, b)
+        return f[tuple(idx)]
+
+    phases = []
+    for i0, w in _upsample1d_weights(ratio):
+        # base index runs over the interior cells 1..n-2
+        lo = sl(1 + i0, n - 1 + i0)
+        hi = sl(2 + i0, n + i0) if (2 + i0) <= n else sl(2 + i0 - 1, n - 1 + i0 + 1)
+        phases.append((1.0 - w) * lo + w * hi)
+    stacked = jnp.stack(phases, axis=axis + 1 if axis >= 0
+                        else f.ndim + axis + 1)
+    # interleave phases: (..., m, ratio, ...) -> (..., m*ratio, ...)
+    shp = list(stacked.shape)
+    ax = axis if axis >= 0 else f.ndim + axis
+    shp[ax:ax + 2] = [shp[ax] * shp[ax + 1]]
+    return stacked.reshape(shp)
+
+
+class NestedGrid:
+    """Geometry + transfer operators for one rectangular patch.
+
+    patch = (y0, y1, x0, x1) in coarse-cell indices (half-open), must
+    leave >= 2 coarse cells of margin to every domain edge.
+    """
+
+    def __init__(self, grid: GridSpec, patch, ratio: int = 2):
+        y0, y1, x0, x1 = patch
+        if not (2 <= y0 < y1 <= grid.ny - 2 and 2 <= x0 < x1 <= grid.nx - 2):
+            raise ValueError(
+                "patch must be inside the domain with >= 2 cells margin")
+        self.grid = grid
+        self.patch = (y0, y1, x0, x1)
+        self.ratio = int(ratio)
+        self.py, self.px = y1 - y0, x1 - x0
+        self.nyf, self.nxf = self.py * ratio, self.px * ratio
+        self.fine_grid = GridSpec(
+            nx=self.nxf, ny=self.nyf, levels=grid.levels,
+            dx=grid.dx / ratio, dy=grid.dy / ratio, bc="clamped",
+            grid_type=grid.grid_type)
+
+    def prolong_frame(self, f):
+        """Interpolate a coarse field onto the fine patch PLUS a 1-cell
+        ghost ring: returns (nyf + 2, nxf + 2)."""
+        y0, y1, x0, x1 = self.patch
+        r = self.ratio
+        # extended coarse window with 2 extra cells each side: enough
+        # support for bilinear at the ghost ring
+        win = f[..., y0 - 2:y1 + 2, x0 - 2:x1 + 2]
+        up = _upsample_axis(_upsample_axis(win, r, -1), r, -2)
+        # up covers fine coords of coarse cells [y0-1, y1+1): size
+        # r*(py+2); the patch+ghost frame starts r-1 fine cells in
+        o = r - 1
+        return up[..., o:o + self.nyf + 2, o:o + self.nxf + 2]
+
+    def prolong(self, f):
+        """Coarse field -> fine patch interior (nyf, nxf)."""
+        return self.prolong_frame(f)[..., 1:-1, 1:-1]
+
+    def restrict(self, f):
+        """Fine patch -> coarse patch cells (box average)."""
+        r = self.ratio
+        shp = f.shape[:-2] + (self.py, r, self.px, r)
+        return f.reshape(shp).mean(axis=(-3, -1))
+
+    def feedback(self, coarse_f, fine_f):
+        y0, y1, x0, x1 = self.patch
+        return coarse_f.at[..., y0:y1, x0:x1].set(self.restrict(fine_f))
+
+
+def _ghost_shift_fn(frame):
+    """shift(f_padded_frame, dxi, dyi) over a (ny+2, nx+2) frame whose
+    ring holds prolonged coarse values — the nested-BC analog of
+    pad_and_shift (same contract as make_shift_fn)."""
+    ny, nx = frame.shape[-2] - 2, frame.shape[-1] - 2
+
+    def shift(_ignored, dxi: int = 0, dyi: int = 0):
+        return frame[..., 1 + dyi:1 + dyi + ny, 1 + dxi:1 + dxi + nx]
+
+    return shift
+
+
+def make_nested_swe_stepper(grid: GridSpec, params: PhysicsParams,
+                            nest: NestedGrid, dt: float,
+                            method: str = "rk4") -> Stepper:
+    """Stepper over NestedState: coarse step + ratio fine substeps with
+    time-interpolated ghost values + two-way feedback."""
+    from njw_tpu.weather.dynamics import make_tendency_fn
+
+    coarse_tendency = make_tendency_fn("shallow_water", grid, params)
+    coarse_stepper = make_stepper(method, coarse_tendency)
+    r = nest.ratio
+    dt_f = dt / r
+    fg = nest.fine_grid
+
+    def fine_tendency_with_ghosts(s: WeatherState, frames):
+        """frames: dict of padded (nyf+2, nxf+2) frames per field with
+        current interior + interpolated ghost ring."""
+        shift_u = _ghost_shift_fn(frames["u"])
+        shift_v = _ghost_shift_fn(frames["v"])
+        shift_h = _ghost_shift_fn(frames["h"])
+
+        def shift(f, dxi=0, dyi=0):
+            # identify the field by object identity (u/v/h)
+            if f is s.u:
+                return shift_u(f, dxi, dyi)
+            if f is s.v:
+                return shift_v(f, dxi, dyi)
+            return shift_h(f, dxi, dyi)
+
+        du, dv, dh = swe_tendencies_from_shifts(
+            s.u, s.v, s.h, shift, fg, params)
+        return WeatherState(u=du, v=dv, h=dh)
+
+    def fine_rhs(s: WeatherState, boundary):
+        """Tendency with ghost ring from `boundary` (a WeatherState of
+        prolonged frames) and interior from s."""
+        frames = {}
+        for name in ("u", "v", "h"):
+            frame = getattr(boundary, name)
+            frames[name] = frame.at[..., 1:-1, 1:-1].set(getattr(s, name))
+        return fine_tendency_with_ghosts(s, frames)
+
+    def step(carry, s: NestedState, dt_in):
+        c_carry = carry
+        # 1. advance the coarse grid one full step
+        c_carry, coarse_new = coarse_stepper.step(c_carry, s.coarse, dt_in)
+
+        # 2. prolonged boundary frames at t and t+dt
+        def frames_of(cs):
+            return WeatherState(u=nest.prolong_frame(cs.u),
+                                v=nest.prolong_frame(cs.v),
+                                h=nest.prolong_frame(cs.h))
+
+        b0, b1 = frames_of(s.coarse), frames_of(coarse_new)
+
+        # 3. fine substeps (RK4 in the interior, ghosts linear in time)
+        def substep(fine, k):
+            theta = (k.astype(jnp.float32) + 0.5) / r
+            bnd = jax.tree.map(lambda a, b: a + theta * (b - a), b0, b1)
+            tend = lambda sf: fine_rhs(sf, bnd)
+            stepper = make_stepper(method, tend)
+            _, fine2 = stepper.step(stepper.init(fine), fine, dt_in / r)
+            return fine2, None
+
+        fine_new, _ = jax.lax.scan(substep, s.fine, jnp.arange(r))
+
+        # 4. two-way feedback: restrict fine onto the coarse patch cells
+        coarse_fb = WeatherState(
+            u=nest.feedback(coarse_new.u, fine_new.u),
+            v=nest.feedback(coarse_new.v, fine_new.v),
+            h=nest.feedback(coarse_new.h, fine_new.h))
+        return c_carry, NestedState(coarse=coarse_fb, fine=fine_new)
+
+    return Stepper(
+        lambda s: coarse_stepper.init(s.coarse), step, "nested_" + method, 2)
+
+
+def make_nested_sim(sim_cls, config, initial_condition: str,
+                    patch, ratio: int = 2, **ic_params):
+    """Build a Simulation whose state is NestedState (SWE only).
+
+    The fine patch starts from the prolonged coarse IC. Snapshots expose
+    coarse fields plus the fine patch.
+    """
+    from njw_tpu.weather.ics import make_initial_state
+
+    grid = config.grid_spec()
+    params = config.physics()
+    nest = NestedGrid(grid, patch, ratio)
+    full0 = make_initial_state(
+        initial_condition, grid, key=jax.random.key(config.random_seed),
+        **ic_params)
+    coarse0 = WeatherState(u=full0.u, v=full0.v, h=full0.h)
+    fine0 = WeatherState(u=nest.prolong(coarse0.u),
+                         v=nest.prolong(coarse0.v),
+                         h=nest.prolong(coarse0.h))
+    state0 = NestedState(coarse=coarse0, fine=fine0)
+
+    method = config.integration_method
+    stepper_factory = lambda _t: make_nested_swe_stepper(
+        grid, params, nest, config.dt, method)
+
+    def output_fn(s):
+        return {"u": s.coarse.u, "v": s.coarse.v, "h": s.coarse.h,
+                "fine_u": s.fine.u, "fine_v": s.fine.v, "fine_h": s.fine.h}
+
+    sim = sim_cls(state0, lambda s: s, dt=config.dt, method=method,
+                  grid=grid, stepper_factory=stepper_factory,
+                  output_fn=output_fn)
+    sim.config = config
+    sim.nest = nest
+    return sim
