@@ -34,11 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bc", default="periodic",
                    choices=["periodic", "clamped", "outflow", "reflective"])
     p.add_argument("--grid-type", default="cartesian",
-                   choices=["cartesian", "staggered", "spherical_harmonic"],
+                   choices=["cartesian", "staggered", "spherical_harmonic",
+                            "icosahedral"],
                    help="cartesian = collocated A-grid; staggered = "
                         "Arakawa C-grid (Sadourny enstrophy-conserving); "
                         "spherical_harmonic = global spectral core on a "
-                        "Gaussian grid (width must be 2x height)")
+                        "Gaussian grid (width must be 2x height); "
+                        "icosahedral = global 10-panel finite-volume core "
+                        "(height = cells per rhombus edge, power of 2)")
     p.add_argument("--mountain-height", type=float, default=0.0,
                    help="gaussian orography peak (geopotential m^2/s^2); "
                         "primitive model only")

@@ -64,10 +64,11 @@ class GridSpec:
             raise ValueError(f"unknown boundary condition: {self.bc!r}")
         if self.grid_type not in ("cartesian", "staggered"):
             raise ValueError(
-                f"unknown grid type: {self.grid_type!r} (the reference "
-                "declares Icosahedral/SphericalHarmonic too but never "
-                "implements any non-Cartesian grid — here 'staggered' is "
-                "a real Arakawa C-grid core)")
+                f"unknown grid type: {self.grid_type!r} for a planar "
+                "GridSpec (spherical_harmonic and icosahedral are global "
+                "cores routed in Simulation.from_config — the reference "
+                "declares all four GridTypes but implements none beyond "
+                "Cartesian, ref: weather_sim.hpp:61-66)")
         if self.grid_type == "staggered" and self.bc != "periodic":
             raise ValueError("the C-grid core is periodic-only")
         if self.nx < 3 or self.ny < 3:

@@ -38,7 +38,8 @@ class SimConfig:
     model: str = "shallow_water"  # shallow_water | barotropic | primitive | general
     integration_method: str = "rk4"  # euler|rk2|rk4|adams_bashforth|semi_implicit
     boundary_condition: str = "periodic"  # periodic | clamped | outflow | reflective
-    grid_type: str = "cartesian"          # cartesian (A-grid) | staggered (C-grid)
+    grid_type: str = "cartesian"  # cartesian (A-grid) | staggered (C-grid)
+    #   | spherical_harmonic (global spectral) | icosahedral (10-panel FV)
 
     grid_width: int = 256
     grid_height: int = 256
@@ -185,6 +186,11 @@ class Simulation:
 
             return make_spherical_sim(cls, config, initial_condition,
                                       **ic_params)
+        if config.grid_type == "icosahedral":
+            from njw_tpu.weather.icosa import make_icosa_sim
+
+            return make_icosa_sim(cls, config, initial_condition,
+                                  **ic_params)
         if model == "barotropic":
             from njw_tpu.weather.barotropic import make_barotropic_sim
 
