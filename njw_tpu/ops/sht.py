@@ -106,33 +106,42 @@ class SphericalHarmonicTransform:
 
         cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
         self.dtype, self.cdtype = dtype, cdtype
+
+        # Convert dtypes in NUMPY before the device transfer: an eager
+        # on-device convert_element_type is UNIMPLEMENTED on remote TPU
+        # backends (measured on axon/v5e r3 — only jitted ops are general).
+        def dev(a, dt=dtype):
+            return jnp.asarray(np.asarray(a, np.dtype(dt)))
+
         # runtime tables (m, n, lat): P for synthesis, 0.5*w*P for analysis,
         # H and 0.5*w*H/(1-mu^2) for wind synthesis / divergence analysis
-        self._P = jnp.asarray(P[:, : self.trunc + 2, :], dtype)
-        self._Pw = jnp.asarray(0.5 * w * P[:, : self.trunc + 2, :], dtype)
-        self._H = jnp.asarray(H[:, : self.trunc + 2, :], dtype)
-        self._Hw_over_c2 = jnp.asarray(
-            0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :], dtype)
-        self._Pw_over_c2 = jnp.asarray(
-            0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :], dtype)
+        self._P = dev(P[:, : self.trunc + 2, :])
+        self._Pw = dev(0.5 * w * P[:, : self.trunc + 2, :])
+        self._H = dev(H[:, : self.trunc + 2, :])
+        self._Hw_over_c2 = dev(
+            0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :])
+        self._Pw_over_c2 = dev(
+            0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :])
 
         n = np.arange(self.trunc + 2)
         m = np.arange(self.trunc + 1)
         valid = (n[None, :] >= m[:, None]) & (n[None, :] <= self.trunc)
         self._valid = jnp.asarray(valid)
         lap = -n * (n + 1.0) / self.radius**2          # (T+2,)
-        self._lap = jnp.asarray(np.where(valid, lap[None, :], 0.0), dtype)
+        self._lap = dev(np.where(valid, lap[None, :], 0.0))
         inv_lap = np.zeros_like(lap)
         inv_lap[1:] = -self.radius**2 / (n[1:] * (n[1:] + 1.0))
-        self._inv_lap = jnp.asarray(
-            np.where(valid, inv_lap[None, :], 0.0), dtype)
-        self._im = jnp.asarray(1j * m, cdtype)          # (T+1,)
-        self._mu_grid = jnp.asarray(
-            np.broadcast_to(mu[:, None], (self.nlat, self.nlon)).copy(),
-            dtype)
-        self._cos_lat = jnp.asarray(
+        self._inv_lap = dev(np.where(valid, inv_lap[None, :], 0.0))
+        # stored REAL (m values), exposed as the complex factor via the
+        # _im property: complex leaves must never cross the runtime layer
+        # on remote TPU backends (a complex transfer wedges the axon
+        # session — measured r3); 1j*m is formed inside the consuming op.
+        self._m = dev(m)                                # (T+1,)
+        self._mu_grid = dev(
+            np.broadcast_to(mu[:, None], (self.nlat, self.nlon)).copy())
+        self._cos_lat = dev(
             np.broadcast_to(np.sqrt(1.0 - mu**2)[:, None],
-                            (self.nlat, self.nlon)).copy(), dtype)
+                            (self.nlat, self.nlon)).copy())
         self.spec_shape = (self.trunc + 1, self.trunc + 2)
 
     # -- core transforms ---------------------------------------------------
@@ -161,6 +170,11 @@ class SphericalHarmonicTransform:
         return F[..., : self.trunc + 1]
 
     # -- differential operators --------------------------------------------
+
+    @property
+    def _im(self):
+        """i*m as a complex vector, formed on use (see _m above)."""
+        return 1j * self._m.astype(self.cdtype)
 
     def laplacian(self, a):
         return a * self._lap
@@ -222,7 +236,11 @@ class SphericalHarmonicTransform:
     def spectral_mode(self, m: int, n: int, amplitude: float = 1.0):
         """Packed coefficients of amplitude * Re(Y_n^m) as a real field."""
         a = jnp.zeros(self.spec_shape, self.cdtype)
-        return a.at[m, n].set(amplitude if m == 0 else amplitude / 2.0)
+        # jnp scalar (not python float): keeps the set usable both under
+        # jit and eagerly-on-CPU without an on-device convert
+        return a.at[m, n].set(
+            jnp.asarray(amplitude if m == 0 else amplitude / 2.0,
+                        self.cdtype))
 
     def global_mean(self, f):
         w = jnp.asarray(self.quad_w, self.dtype)
@@ -236,7 +254,7 @@ class SphericalHarmonicTransform:
 # constants, which blows up remote-compile requests); passed as pytree
 # leaves they are ordinary runtime operands.
 _SHT_LEAF_NAMES = ("_P", "_Pw", "_H", "_Hw_over_c2", "_Pw_over_c2",
-                   "_lap", "_inv_lap", "_im", "_valid",
+                   "_lap", "_inv_lap", "_m", "_valid",
                    "_mu_grid", "_cos_lat")
 
 

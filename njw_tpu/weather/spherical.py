@@ -43,6 +43,23 @@ class SphericalSWEState:
     phi: jnp.ndarray   # spectral geopotential g*h
 
 
+def pack_state(s):
+    """Complex spectral pytree -> (2, ...) float pairs.
+
+    Complex buffers must never cross the runtime layer on remote TPU
+    backends (a complex transfer/eager op wedges the axon session —
+    measured r3); states are packed at jit boundaries and viewed as
+    complex only inside compiled programs. Packing is a linear bijection,
+    so explicit RK steps on packed states equal RK on complex states."""
+    return jax.tree.map(
+        lambda a: jnp.stack([jnp.real(a), jnp.imag(a)]), s)
+
+
+def unpack_state(p):
+    """Inverse of pack_state (call inside jit only on TPU)."""
+    return jax.tree.map(lambda a: a[0] + 1j * a[1], p)
+
+
 def coriolis_spectral(sht: SphericalHarmonicTransform, omega: float):
     """f = 2 Omega mu is proportional to Y_1^0: exact spectral coefficient."""
     # mu = Pbar_1^0 / sqrt(3) under this normalization
@@ -224,49 +241,72 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
     nu4 = float(ic_params.pop("nu4", 0.0))
     sht = SphericalHarmonicTransform(nlat, radius=radius)
 
+    # IC/output construction goes through jit with the transform as a
+    # PYTREE ARGUMENT, and the prognostic state crosses every jit boundary
+    # PACKED as (real, imag) float pairs: on remote TPU backends complex
+    # is only supported INSIDE compiled programs — a complex buffer at the
+    # runtime layer (transfer, eager op, jit operand/result) wedges the
+    # session (measured on axon/v5e r3). Packing is linear, so explicit
+    # RK combinations of packed states are exactly RK on the complex state.
+    def _build(fn, **kw):
+        return jax.jit(lambda t: pack_state(fn(t, **kw)))(sht)
+
     model = config.model
     if model == "barotropic":
         if initial_condition in ("rossby_haurwitz", "uniform", "default"):
-            state0 = rossby_haurwitz_bve(sht, **ic_params)
+            state0 = _build(rossby_haurwitz_bve, **ic_params)
         elif initial_condition == "random":
             key = jax.random.key(config.random_seed)
             zg = 1e-5 * jax.random.normal(key, (nlat, nlon))
-            state0 = SphericalBarotropicState(zeta=sht.analysis(zg))
+            state0 = jax.jit(
+                lambda t, z: pack_state(
+                    SphericalBarotropicState(zeta=t.analysis(z)))
+            )(sht, zg)
         else:
             raise ValueError(
                 f"unknown spherical barotropic IC {initial_condition!r} "
                 "(use rossby_haurwitz | random)")
-        tendency = lambda s: bve_tendencies(s, sht, omega, nu4)
+        tendency = lambda p: pack_state(
+            bve_tendencies(unpack_state(p), sht, omega, nu4))
 
-        def output_fn(s):
-            psi = sht.inverse_laplacian(s.zeta)
-            U, V = sht.uv_from_psi_chi(psi, jnp.zeros_like(psi))
-            c = sht.cos_lat()
-            return {"zeta": sht.synthesis(s.zeta),
-                    "psi": sht.synthesis(psi),
+        @jax.jit
+        def _bve_out(p, t):
+            s = unpack_state(p)
+            psi = t.inverse_laplacian(s.zeta)
+            U, V = t.uv_from_psi_chi(psi, jnp.zeros_like(psi))
+            c = t.cos_lat()
+            return {"zeta": t.synthesis(s.zeta),
+                    "psi": t.synthesis(psi),
                     "u": U / c, "v": V / c}
+
+        output_fn = lambda s: _bve_out(s, sht)
     elif model in ("shallow_water", "general"):
         if initial_condition in ("williamson2", "zonal", "uniform",
                                  "default"):
-            state0 = williamson2_state(sht, omega, **ic_params)
+            state0 = _build(williamson2_state, omega=omega, **ic_params)
         elif initial_condition in ("rossby_haurwitz", "williamson6"):
-            state0 = rossby_haurwitz_swe(sht, omega, **ic_params)
+            state0 = _build(rossby_haurwitz_swe, omega=omega, **ic_params)
         else:
             raise ValueError(
                 f"unknown spherical SWE IC {initial_condition!r} "
                 "(use williamson2 | rossby_haurwitz)")
-        tendency = lambda s: swe_tendencies(s, sht, omega, nu4)
+        tendency = lambda p: pack_state(
+            swe_tendencies(unpack_state(p), sht, omega, nu4))
+        g = config.gravity or 9.80616
 
-        def output_fn(s):
-            psi = sht.inverse_laplacian(s.zeta)
-            chi = sht.inverse_laplacian(s.div)
-            U, V = sht.uv_from_psi_chi(psi, chi)
-            c = sht.cos_lat()
-            g = config.gravity or 9.80616
-            return {"h": sht.synthesis(s.phi) / g,
+        @jax.jit
+        def _swe_out(p, t):
+            s = unpack_state(p)
+            psi = t.inverse_laplacian(s.zeta)
+            chi = t.inverse_laplacian(s.div)
+            U, V = t.uv_from_psi_chi(psi, chi)
+            c = t.cos_lat()
+            return {"h": t.synthesis(s.phi) / g,
                     "u": U / c, "v": V / c,
-                    "zeta": sht.synthesis(s.zeta),
-                    "divergence": sht.synthesis(s.div)}
+                    "zeta": t.synthesis(s.zeta),
+                    "divergence": t.synthesis(s.div)}
+
+        output_fn = lambda s: _swe_out(s, sht)
     else:
         raise ValueError(
             f"model {model!r} has no spherical-harmonic core "
@@ -278,9 +318,19 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
             raise ValueError(
                 "semi_implicit applies to models with fast gravity-wave "
                 "modes; the spherical BVE has none — use rk4/rk2/euler.")
-        phi_ref = float(jnp.real(state0.phi[0, 0]))  # global-mean gh
-        stepper_factory = lambda _t: semi_implicit_spherical_swe(
+        # packed phi: component 0 is the real part; device_get + numpy
+        # (eager complex ops are unavailable on remote TPU backends)
+        phi_ref = float(np.asarray(jax.device_get(state0.phi))[0, 0, 0])
+        raw = semi_implicit_spherical_swe(
             sht, omega, phi_ref=phi_ref, nu4=nu4)
+
+        def _packed_step(carry, p, dt):
+            carry, s2 = raw.step(carry, unpack_state(p), dt)
+            return carry, pack_state(s2)
+
+        from njw_tpu.weather.integrators import Stepper
+        stepper_factory = lambda _t: Stepper(
+            raw.init, _packed_step, raw.name, raw.stages)
 
     sim = sim_cls(
         state0, tendency, dt=config.dt, method=config.integration_method,

@@ -31,8 +31,8 @@ def main():
 
     from njw_tpu.ops.sht import SphericalHarmonicTransform
     from njw_tpu.weather.spherical import (
-        EARTH_OMEGA, bve_tendencies, rossby_haurwitz_bve,
-        rossby_haurwitz_swe, swe_tendencies,
+        EARTH_OMEGA, bve_tendencies, pack_state, rossby_haurwitz_bve,
+        rossby_haurwitz_swe, swe_tendencies, unpack_state,
     )
 
     platform = jax.devices()[0].platform
@@ -58,20 +58,27 @@ def main():
         sht = SphericalHarmonicTransform(nlat)
         dt = jnp.float32(900.0 * 64 / nlat)
 
+        # ICs built under jit and PACKED as (real, imag) float pairs at
+        # every jit boundary: complex buffers at the runtime layer wedge
+        # the axon remote-TPU backend (measured r3) — complex is only
+        # supported INSIDE compiled programs.
         cores = {
             "bve": (make_rk4(lambda s, t: bve_tendencies(s, t, EARTH_OMEGA)),
-                    rossby_haurwitz_bve(sht)),
+                    jax.jit(lambda t: pack_state(rossby_haurwitz_bve(t)))(
+                        sht)),
             "swe": (make_rk4(lambda s, t: swe_tendencies(
                 s, t, EARTH_OMEGA, nu4=1e15)),
-                rossby_haurwitz_swe(sht, EARTH_OMEGA)),
+                jax.jit(lambda t: pack_state(
+                    rossby_haurwitz_swe(t, EARTH_OMEGA)))(sht)),
         }
 
         for name, (step, s0) in cores.items():
             @jax.jit
-            def run(k, s, sht, step=step, dt=dt):
+            def run(k, p, sht, step=step, dt=dt):
                 def body(i, s):
                     return step(s, sht, dt)
-                return jax.lax.fori_loop(0, k, body, s)
+                return pack_state(
+                    jax.lax.fori_loop(0, k, body, unpack_state(p)))
 
             def once(k, s0=s0, run=run, sht=sht):
                 t0 = time.perf_counter()

@@ -22,6 +22,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (the MD
+# cell-list and sharded-Pallas tests each pay 10-50 s of XLA compile);
+# caching compiled executables in-repo keeps repeat runs well inside the
+# 10-minute CI budget. First (cold) run populates it.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
