@@ -186,6 +186,29 @@ class SphericalHarmonicTransform:
     def d_dlon(self, a):
         return a * self._im[:, None]
 
+    # -- stacked (fused) contractions ---------------------------------------
+    #
+    # At T341 a table is ~240 MB and the dynamical cores are BANDWIDTH
+    # bound on table reads (measured r3: the per-call formulation reads
+    # ~3.6 GB/tendency = the 19.5 ms/step HBM roof). Stacking every
+    # quantity that contracts against the same table into ONE einsum
+    # reads each table once per tendency AND turns the per-m matvecs
+    # into per-m matmuls (better MXU occupancy).
+
+    _TABLES = ("P", "H", "Pw", "Pw_over_c2", "Hw_over_c2")
+
+    def syn_stack(self, a_stack, which: str = "P"):
+        """Stacked spectral -> Fourier: (q, m, n) -> (q, lat, m), reading
+        the selected table once."""
+        return jnp.einsum("mnj,qmn->qjm", getattr(self, "_" + which),
+                          a_stack)
+
+    def anal_stack(self, F_stack, which: str):
+        """Stacked Fourier -> spectral quadrature against one table:
+        (q, lat, m) -> (q, m, n) (unmasked; caller applies _valid)."""
+        return jnp.einsum("mnj,qjm->qmn", getattr(self, "_" + which),
+                          F_stack)
+
     def uv_from_psi_chi(self, psi, chi):
         """Pseudo-winds U = u cos(lat), V = v cos(lat) on the grid from
         spectral streamfunction / velocity potential.

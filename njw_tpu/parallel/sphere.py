@@ -87,6 +87,10 @@ class _PsumSHT:
     def analysis(self, f):
         return self._psum_c(self._sht.analysis(f))
 
+    def anal_stack(self, F_stack, which: str):
+        # the stacked quadrature contracts over the local latitude slab
+        return self._psum_c(self._sht.anal_stack(F_stack, which))
+
     def divergence_of(self, A, B):
         return self._psum_c(self._sht.divergence_of(A, B))
 

@@ -70,14 +70,31 @@ def coriolis_spectral(sht: SphericalHarmonicTransform, omega: float):
 def bve_tendencies(s: SphericalBarotropicState,
                    sht: SphericalHarmonicTransform,
                    omega: float, nu4: float = 0.0):
-    """d zeta / dt = -div((zeta + f) V) for nondivergent V from psi."""
+    """d zeta / dt = -div((zeta + f) V) for nondivergent V from psi.
+
+    Fused formulation (r3): every quantity contracting against the same
+    Legendre table goes through ONE stacked einsum — at T341 the tables
+    are ~240 MB each and the tendency is bandwidth-bound on reading them.
+    """
     zeta = s.zeta
     psi = sht.inverse_laplacian(zeta)
-    zero = jnp.zeros_like(psi)
-    U, V = sht.uv_from_psi_chi(psi, zero)
-    f_grid = 2.0 * omega * sht.grid_of_mu()
-    eta = sht.synthesis(zeta) + f_grid
-    dzeta = -sht.divergence_of(U * eta, V * eta)
+    inv_a = 1.0 / sht.radius
+
+    Fp = sht.syn_stack(jnp.stack([sht.d_dlon(psi), zeta]), "P")
+    Fh = sht.syn_stack(psi[None], "H")
+    FU = -Fh[0] * inv_a                      # chi = 0 for the BVE
+    FV = Fp[0] * inv_a
+    G = sht._to_grid(jnp.stack([FU, FV, Fp[1]]))
+    U, V, zeta_g = G[0], G[1], G[2]
+
+    eta = zeta_g + 2.0 * omega * sht.grid_of_mu()
+    F = sht._fourier(jnp.stack([U * eta, V * eta]))
+    im = sht._im[None, :]
+    Dp = sht.anal_stack((F[0] * im)[None], "Pw_over_c2")
+    Dh = sht.anal_stack(F[1][None], "Hw_over_c2")
+    div1 = jnp.where(sht._valid, (Dp[0] - Dh[0]) * inv_a, 0.0) \
+        .astype(sht.cdtype)
+    dzeta = -div1
     if nu4:
         dzeta = dzeta - nu4 * (sht._lap ** 2) * zeta
     return SphericalBarotropicState(zeta=dzeta)
@@ -92,20 +109,49 @@ def swe_tendencies(s: SphericalSWEState, sht: SphericalHarmonicTransform,
         d Phi /dt = -div(Phi V)
 
     with eta = zeta + f, Phi = g h (flat bottom). All products on the grid.
+
+    Fused formulation (r3): one stacked einsum per Legendre table per
+    tendency (5 table reads instead of 15) — at T341 the tables are
+    ~240 MB each and this loop is bandwidth-bound on reading them — and
+    one batched rfft/irfft each way.
     """
     psi = sht.inverse_laplacian(s.zeta)
     chi = sht.inverse_laplacian(s.div)
-    U, V = sht.uv_from_psi_chi(psi, chi)
-    f_grid = 2.0 * omega * sht.grid_of_mu()
-    eta = sht.synthesis(s.zeta) + f_grid
-    phi_g = sht.synthesis(s.phi)
+    inv_a = 1.0 / sht.radius
+
+    # spectral -> grid: _P once (q=4), _H once (q=2), one batched irfft
+    Fp = sht.syn_stack(
+        jnp.stack([sht.d_dlon(chi), sht.d_dlon(psi), s.zeta, s.phi]), "P")
+    Fh = sht.syn_stack(jnp.stack([psi, chi]), "H")
+    FU = (Fp[0] - Fh[0]) * inv_a
+    FV = (Fp[1] + Fh[1]) * inv_a
+    G = sht._to_grid(jnp.stack([FU, FV, Fp[2], Fp[3]]))
+    U, V, zeta_g, phi_g = G[0], G[1], G[2], G[3]
+
+    eta = zeta_g + 2.0 * omega * sht.grid_of_mu()
     inv_c2 = 1.0 / sht.cos_lat() ** 2
     energy = 0.5 * (U * U + V * V) * inv_c2
 
-    dzeta = -sht.divergence_of(U * eta, V * eta)
-    ddiv = (sht.curl_of(U * eta, V * eta)
-            - sht.laplacian(s.phi + sht.analysis(energy)))
-    dphi = -sht.divergence_of(U * phi_g, V * phi_g)
+    # grid -> spectral: one batched rfft (q=5), then _Pw_over_c2 once
+    # (q=3), _Hw_over_c2 once (q=3), _Pw once (q=1)
+    F = sht._fourier(jnp.stack([U * eta, V * eta,
+                                U * phi_g, V * phi_g, energy]))
+    im = sht._im[None, :]
+    Dp = sht.anal_stack(jnp.stack([F[0] * im, F[1] * im, F[2] * im]),
+                        "Pw_over_c2")
+    Dh = sht.anal_stack(jnp.stack([F[1], F[0], F[3]]), "Hw_over_c2")
+    e_spec = sht.anal_stack(F[4][None], "Pw")[0]
+
+    mask = sht._valid
+    cd = sht.cdtype
+    div_eta = jnp.where(mask, (Dp[0] - Dh[0]) * inv_a, 0.0).astype(cd)
+    curl_eta = jnp.where(mask, (Dp[1] + Dh[1]) * inv_a, 0.0).astype(cd)
+    div_phi = jnp.where(mask, (Dp[2] - Dh[2]) * inv_a, 0.0).astype(cd)
+    e_spec = jnp.where(mask, e_spec, 0.0).astype(cd)
+
+    dzeta = -div_eta
+    ddiv = curl_eta - sht.laplacian(s.phi + e_spec)
+    dphi = -div_phi
     if nu4:
         damp = nu4 * (sht._lap ** 2)
         dzeta = dzeta - damp * s.zeta
