@@ -197,37 +197,42 @@ def build_operators(n: int, radius: float = EARTH_RADIUS) -> IcosaOperators:
                           radius=jnp.float32(radius))
 
 
-def gradient(f, ops: IcosaOperators):
-    """Tangential gradient of a scalar: (10,n,n) -> (10,n,n,3)."""
-    p = pad_halo(f)
+def gradient(f, ops: IcosaOperators, pad=pad_halo):
+    """Tangential gradient of a scalar: (10,n,n) -> (10,n,n,3).
+
+    `pad` supplies the halo exchange; the sharded path passes a
+    ppermute-based exchange over panel pairs (parallel/icosa.py) and the
+    physics below is shared unchanged — the same shift-parameterization
+    pattern as the planar cores."""
+    p = pad(f)
     out = jnp.zeros(f.shape + (3,), f.dtype)
     for e, s in enumerate(_shift_slabs(p)):
         out = out + ops.w[e] * (s - f)[..., None]
     return out
 
 
-def gradient_vec(V, ops: IcosaOperators):
+def gradient_vec(V, ops: IcosaOperators, pad=pad_halo):
     """Per-component gradient of a 3-vector field:
     (10,n,n,3) -> (10,n,n,3comp,3dir)."""
-    p = pad_halo(V)
+    p = pad(V)
     out = jnp.zeros(V.shape + (3,), V.dtype)
     for e, s in enumerate(_shift_slabs(p)):
         out = out + ops.w[e][..., None, :] * (s - V)[..., :, None]
     return out
 
 
-def divergence(V, ops: IcosaOperators):
+def divergence(V, ops: IcosaOperators, pad=pad_halo):
     """LSQ divergence: (10,n,n,3) -> (10,n,n)."""
-    p = pad_halo(V)
+    p = pad(V)
     out = jnp.zeros(V.shape[:-1], V.dtype)
     for e, s in enumerate(_shift_slabs(p)):
         out = out + jnp.sum(ops.w[e] * (s - V), -1)
     return out
 
 
-def laplacian(f, ops: IcosaOperators):
+def laplacian(f, ops: IcosaOperators, pad=pad_halo):
     """div(grad f) — two halo exchanges; used for explicit diffusion."""
-    return divergence(gradient(f, ops), ops)
+    return divergence(gradient(f, ops, pad), ops, pad)
 
 
 # --------------------------------------------------------------------------
@@ -242,7 +247,7 @@ class IcosaSWEState:
 
 def swe_tendencies_icosa(s: IcosaSWEState, ops: IcosaOperators,
                          g: float = 9.80616, omega: float = EARTH_OMEGA,
-                         nu: float = 0.0) -> IcosaSWEState:
+                         nu: float = 0.0, pad=pad_halo) -> IcosaSWEState:
     """dV/dt = P[-(V.grad)V - g grad h - 2 Omega x V],  P = I - r r^T;
     dh/dt = -(h div V + V . grad h).
 
@@ -250,17 +255,17 @@ def swe_tendencies_icosa(s: IcosaSWEState, ops: IcosaOperators,
     force; because r is fixed per cell, any RK combination of projected
     tendencies keeps V exactly tangent."""
     V, h = s.V, s.h
-    gh = gradient(h, ops)
-    gV = gradient_vec(V, ops)
+    gh = gradient(h, ops, pad)
+    gV = gradient_vec(V, ops, pad)
     adv = jnp.einsum("...d,...cd->...c", V, gV)
     zxV = jnp.stack([-V[..., 1], V[..., 0], jnp.zeros_like(V[..., 0])], -1)
     dV = -adv - g * gh - (2.0 * omega) * zxV
     dV = dV - jnp.sum(dV * ops.r, -1, keepdims=True) * ops.r
-    dh = -(h * divergence(V, ops) + jnp.sum(V * gh, -1))
+    dh = -(h * divergence(V, ops, pad) + jnp.sum(V * gh, -1))
     if nu:
         dV = dV + nu * jnp.stack(
-            [laplacian(V[..., i], ops) for i in range(3)], -1)
-        dh = dh + nu * laplacian(h, ops)
+            [laplacian(V[..., i], ops, pad) for i in range(3)], -1)
+        dh = dh + nu * laplacian(h, ops, pad)
     return IcosaSWEState(V=dV, h=dh)
 
 
