@@ -69,9 +69,6 @@ def study_williamson(args):
     import numpy as np
 
     from njw_tpu.weather import SimConfig, Simulation
-    from njw_tpu.weather.icosa import (
-        build_operators, uv_from_cartesian, williamson2_icosa,
-    )
     from njw_tpu.weather.model import Simulation as Sim
 
     steps = int(round(args.hours * 3600.0 / args.dt))

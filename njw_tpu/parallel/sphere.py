@@ -26,9 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from njw_tpu.ops.sht import (
-    SphericalHarmonicTransform, _sht_flatten, _SHT_LEAF_NAMES,
-)
+from njw_tpu.ops.sht import SphericalHarmonicTransform, _SHT_LEAF_NAMES
 from njw_tpu.weather.spherical import (
     bve_tendencies, pack_state, swe_tendencies, unpack_state,
 )

@@ -29,7 +29,6 @@ tests/test_weather_icosa.py.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
