@@ -199,15 +199,25 @@ class SphericalHarmonicTransform:
 
     def syn_stack(self, a_stack, which: str = "P"):
         """Stacked spectral -> Fourier: (q, m, n) -> (q, lat, m), reading
-        the selected table once."""
-        return jnp.einsum("mnj,qmn->qjm", getattr(self, "_" + which),
-                          a_stack)
+        the selected table once.
+
+        The contraction runs in REAL arithmetic on a (2q, m, n) split:
+        the tables are real f32, and letting XLA upcast them to complex
+        would double the table traffic this formulation exists to save
+        (measured r3: the complex-operand stacked einsum regressed T341)."""
+        q = a_stack.shape[0]
+        ri = jnp.concatenate([jnp.real(a_stack), jnp.imag(a_stack)])
+        out = jnp.einsum("mnj,qmn->qjm", getattr(self, "_" + which), ri)
+        return (out[:q] + 1j * out[q:]).astype(self.cdtype)
 
     def anal_stack(self, F_stack, which: str):
         """Stacked Fourier -> spectral quadrature against one table:
-        (q, lat, m) -> (q, m, n) (unmasked; caller applies _valid)."""
-        return jnp.einsum("mnj,qjm->qmn", getattr(self, "_" + which),
-                          F_stack)
+        (q, lat, m) -> (q, m, n) (unmasked; caller applies _valid).
+        Real-split contraction — see syn_stack."""
+        q = F_stack.shape[0]
+        ri = jnp.concatenate([jnp.real(F_stack), jnp.imag(F_stack)])
+        out = jnp.einsum("mnj,qjm->qmn", getattr(self, "_" + which), ri)
+        return (out[:q] + 1j * out[q:]).astype(self.cdtype)
 
     def uv_from_psi_chi(self, psi, chi):
         """Pseudo-winds U = u cos(lat), V = v cos(lat) on the grid from

@@ -13,6 +13,13 @@ Structure:
   ics.py          registry of 9 named initial conditions
   oracle.py       NumPy CPU reference (the allclose oracle)
   model.py        Simulation driver: jitted lax.scan step loop + metrics
+  staggered.py    Arakawa C-grid SWE (Sadourny enstrophy-conserving)
+  spherical.py    global spectral BVE/SWE on the spherical-harmonic grid
+  icosa.py        global FV SWE on the 10-panel icosahedral grid
+  nested.py       two-way nested (space+time refined) patches for the SWE
+
+All four GridTypes the reference declares (weather_sim.hpp:61-66) are
+real here; the reference implements only Cartesian.
 """
 from njw_tpu.weather.grid import GridSpec, PhysicsParams, WeatherState
 from njw_tpu.weather.dynamics import make_tendency_fn, diagnostics
