@@ -41,3 +41,15 @@ from njw_tpu.geofinancial.realtime import (
     DataStreamSource, MarketDataStream, GeospatialEventStream,
 )
 from njw_tpu.geofinancial.optimizer import TPUOptimizer
+from njw_tpu.geofinancial.risk_metrics import (
+    RiskMetricsAnalyzer, historical_var, parametric_var, monte_carlo_var,
+    cvar, sharpe_ratio, sortino_ratio, max_drawdown, risk_attribution,
+)
+from njw_tpu.geofinancial.portfolio import (
+    PortfolioOptimizer, mean_variance_optimize, efficient_frontier,
+    risk_parity, black_litterman, monte_carlo_simulation,
+)
+from njw_tpu.geofinancial.options import (
+    OptionsPricer, black_scholes, greeks, binomial_tree,
+    monte_carlo_price, barrier_option_price, asian_option_price,
+)

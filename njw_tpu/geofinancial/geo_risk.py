@@ -119,6 +119,7 @@ class Asset:
     x: float
     y: float
     metadata: dict = field(default_factory=dict)
+    returns: Optional[np.ndarray] = None  # daily simple returns, oldest first
 
 
 class GeospatialPortfolio:
@@ -129,8 +130,11 @@ class GeospatialPortfolio:
     def __init__(self, assets: Optional[list[Asset]] = None):
         self.assets: list[Asset] = assets or []
 
-    def add_asset(self, id, name, value, x, y, metadata=None):
-        self.assets.append(Asset(id, name, value, x, y, metadata or {}))
+    def add_asset(self, id, name, value, x, y, metadata=None,
+                  returns=None):
+        self.assets.append(Asset(
+            id, name, value, x, y, metadata or {},
+            None if returns is None else np.asarray(returns, np.float64)))
         return self
 
     @property
@@ -161,3 +165,62 @@ class GeospatialPortfolio:
         risks = self.assess_risk(model)
         return float(sum(a.value * risks[a.id] * damage_ratio
                          for a in self.assets))
+
+    # -- returns-based metrics (the financial_modeling wiring) ----------
+
+    def _asset_returns(self, lookback_days: int) -> np.ndarray:
+        """(n_assets, lookback) return matrix; raises like the reference
+        when any asset lacks history (ref: geo_risk.py:370-377)."""
+        rows = []
+        for a in self.assets:
+            if a.returns is None or len(a.returns) < lookback_days:
+                raise ValueError(
+                    f"Asset {a.id} has insufficient returns data")
+            rows.append(np.asarray(a.returns,
+                                   np.float64)[-lookback_days:])
+        return np.stack(rows)
+
+    def calculate_var(self, confidence_level: float = 0.95,
+                      lookback_days: int = 252,
+                      method: str = "historical") -> float:
+        """Value-weighted portfolio VaR from asset return histories
+        (ref: geo_risk.py:386 risk_analyzer.calculate_var)."""
+        from njw_tpu.geofinancial.risk_metrics import RiskMetricsAnalyzer
+
+        asset_returns = self._asset_returns(lookback_days)
+        total = self.total_value
+        weights = np.asarray([a.value / total for a in self.assets])
+        portfolio_returns = weights @ asset_returns
+        return RiskMetricsAnalyzer().calculate_var(
+            portfolio_returns, confidence_level, method)
+
+    def optimize_for_geo_risk(self, risk_model: GeospatialRiskModel,
+                              target_return: float,
+                              max_risk_score: float = 0.5,
+                              risk_aversion: float = 1.0,
+                              lookback_days: int = 252,
+                              max_weight: float = 0.3) -> dict:
+        """Mean-variance weights with geo-risk-adjusted expected returns
+        (ref: geo_risk.py:424): mu_adj = mu - risk_aversion * geo_risk;
+        assets whose geo-risk exceeds max_risk_score are excluded
+        (weight 0). Returns {asset_id: weight}.
+        """
+        from njw_tpu.geofinancial.portfolio import PortfolioOptimizer
+
+        risk_scores = self.assess_risk(risk_model)
+        asset_returns = self._asset_returns(lookback_days)
+        mu = asset_returns.mean(axis=1)
+        cov = np.atleast_2d(np.cov(asset_returns))
+        risk = np.asarray([risk_scores[a.id] for a in self.assets])
+        adjusted = mu - risk_aversion * risk
+        keep = np.flatnonzero(risk <= max_risk_score)
+        if keep.size == 0:
+            raise ValueError(
+                f"no assets with geo-risk <= {max_risk_score}")
+        result = PortfolioOptimizer().optimize(
+            adjusted[keep], cov[np.ix_(keep, keep)], target_return,
+            constraints={"max_weight": max_weight})
+        weights = {a.id: 0.0 for a in self.assets}
+        for i, k in enumerate(keep):
+            weights[self.assets[k].id] = float(result["weights"][i])
+        return weights
