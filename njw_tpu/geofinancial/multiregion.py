@@ -1,12 +1,16 @@
 """Multi-region risk analysis.
 
-ref: multiregion_analysis.py:56 RegionDefinition, :451 MultiRegionRiskModel,
-RegionalPortfolio / RegionalRiskComparator (:56-964), grid helpers
-(:1776-1876).
+ref: multiregion_analysis.py:56 RegionDefinition, :451 MultiRegionRiskModel
+(:644 identify_high_risk_assets, :684 calculate_diversification_benefit,
+:736 perform_cross_region_analysis), RegionalPortfolio (:386 save,
+:410 load), RegionalRiskComparator (:56-964), grid helpers (:1776-1876).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
 import numpy as np
 
 from njw_tpu.geofinancial.geo_risk import (
@@ -50,6 +54,45 @@ class RegionalPortfolio:
             out[region.name] = sub
         return out
 
+    def region_of(self, asset) -> str:
+        """First region containing the asset, or '_unassigned'."""
+        for region in self.regions:
+            if bool(region.contains(asset.x, asset.y)):
+                return region.name
+        return "_unassigned"
+
+    def save(self, file_path: str) -> str:
+        """JSON round-trip of regions + assets
+        (ref: multiregion_analysis.py:386)."""
+        parent = os.path.dirname(file_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        data = {
+            "regions": [asdict(r) for r in self.regions],
+            "assets": [{
+                "id": a.id, "name": a.name, "value": a.value,
+                "x": a.x, "y": a.y, "metadata": a.metadata,
+                "returns": (None if a.returns is None
+                            else np.asarray(a.returns).tolist()),
+            } for a in self.portfolio.assets],
+        }
+        with open(file_path, "w") as fh:
+            json.dump(data, fh, indent=2)
+        return file_path
+
+    @classmethod
+    def load(cls, file_path: str) -> "RegionalPortfolio":
+        """ref: multiregion_analysis.py:410."""
+        with open(file_path) as fh:
+            data = json.load(fh)
+        regions = [RegionDefinition(**r) for r in data["regions"]]
+        port = GeospatialPortfolio()
+        for a in data["assets"]:
+            port.add_asset(a["id"], a["name"], a["value"], a["x"],
+                           a["y"], a.get("metadata") or {},
+                           returns=a.get("returns"))
+        return cls(port, regions)
+
 
 class MultiRegionRiskModel:
     """Per-region risk models + cross-region rollup
@@ -91,6 +134,117 @@ class MultiRegionRiskModel:
         if n_un:
             out["_unassigned"] = {"n_assets": n_un}
         return out
+
+    def assess_regional_risks(self, portfolio: GeospatialPortfolio
+                              ) -> dict:
+        """Per-asset risk scores grouped by region:
+        {region: {asset_id: risk}} — the input shape of the analysis
+        methods below (ref: multiregion_analysis.py:600
+        assess_regional_risks)."""
+        x, y = portfolio.coords()
+        assigned = np.zeros(len(portfolio.assets), bool)
+        out = {}
+        for name, region in self.regions.items():
+            mask = region.contains(x, y) & ~assigned
+            assigned |= mask
+            sub = GeospatialPortfolio(
+                [a for a, m in zip(portfolio.assets, mask) if m])
+            out[name] = sub.assess_risk(self.region_models[name])
+        return out
+
+    @staticmethod
+    def identify_high_risk_assets(regional_risks: dict,
+                                  threshold: float = 0.7,
+                                  top_n: int = None) -> dict:
+        """Per region: assets at/above the risk threshold, sorted by
+        risk, optionally capped at top_n
+        (ref: multiregion_analysis.py:644)."""
+        out = {}
+        for region, scores in regional_risks.items():
+            rows = [{"asset_id": aid, "risk_score": s}
+                    for aid, s in sorted(scores.items(),
+                                         key=lambda kv: kv[1],
+                                         reverse=True)
+                    if s >= threshold]
+            out[region] = rows[:top_n] if top_n else rows
+        return out
+
+    @staticmethod
+    def calculate_diversification_benefit(
+            regional_risks: dict,
+            regional_portfolio: "RegionalPortfolio") -> float:
+        """Risk reduction from regional diversification: compare the
+        value-weighted per-asset risk with the value-weighted per-REGION
+        mean risk (region-level pooling smooths idiosyncratic risk);
+        benefit = (asset_level - region_level) / asset_level
+        (ref: multiregion_analysis.py:684)."""
+        value_by_id = {a.id: a.value
+                       for a in regional_portfolio.portfolio.assets}
+        total = sum(value_by_id.values())
+        if total == 0:
+            return 0.0
+        asset_level = 0.0
+        region_value: dict[str, float] = {}
+        for region, scores in regional_risks.items():
+            for aid, risk in scores.items():
+                v = value_by_id.get(aid, 0.0)
+                asset_level += (v / total) * risk
+                region_value[region] = region_value.get(region, 0.0) + v
+        region_level = 0.0
+        for region, scores in regional_risks.items():
+            if not scores:
+                continue
+            region_level += (region_value.get(region, 0.0) / total) * \
+                float(np.mean(list(scores.values())))
+        if asset_level == 0:
+            return 0.0
+        return (asset_level - region_level) / asset_level
+
+    def perform_cross_region_analysis(
+            self, regional_portfolio: "RegionalPortfolio",
+            threshold: float = 0.7, top_n: int = 10) -> dict:
+        """Comprehensive rollup: per-region stats, high-risk assets,
+        inter-region risk correlations, diversification benefit, and an
+        inverse-risk allocation recommendation
+        (ref: multiregion_analysis.py:736)."""
+        portfolio = regional_portfolio.portfolio
+        regional_risks = self.assess_regional_risks(portfolio)
+        stats = {}
+        for region, scores in regional_risks.items():
+            vals = np.asarray(list(scores.values()), np.float64)
+            stats[region] = {
+                "n_assets": len(scores),
+                "mean": float(vals.mean()) if len(vals) else 0.0,
+                "std": float(vals.std()) if len(vals) else 0.0,
+                "max": float(vals.max()) if len(vals) else 0.0,
+            }
+        # Correlation of the region models' risk fields over ALL asset
+        # locations (how co-exposed the regions are).
+        x, y = portfolio.coords()
+        names = list(self.region_models)
+        if len(names) > 1 and len(portfolio.assets) > 1:
+            fields = np.stack([
+                np.asarray(self.region_models[n].assess_risk(x, y),
+                           np.float64) for n in names])
+            corr = np.nan_to_num(np.corrcoef(fields), nan=0.0)
+        else:
+            corr = np.ones((len(names), len(names)))
+        diversification = self.calculate_diversification_benefit(
+            regional_risks, regional_portfolio)
+        # Inverse-risk target allocation over regions with assets.
+        mean_risk = np.asarray([max(stats[n]["mean"], 1e-3)
+                                for n in names])
+        inv = 1.0 / mean_risk
+        allocation = {n: float(w) for n, w in zip(names, inv / inv.sum())}
+        return {
+            "statistics": stats,
+            "high_risk_assets": self.identify_high_risk_assets(
+                regional_risks, threshold, top_n),
+            "risk_correlations": {
+                "regions": names, "matrix": corr.tolist()},
+            "diversification_benefit": diversification,
+            "recommended_allocation": allocation,
+        }
 
 
 class RegionalRiskComparator:

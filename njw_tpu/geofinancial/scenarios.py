@@ -1,11 +1,17 @@
 """Scenario analysis.
 
 ref: scenario_analysis.py:71 Scenario, :229 ScenarioSet,
-:332 ScenarioAnalyzer, :1786-1985 climate/economic/stress factories.
+:332 ScenarioAnalyzer (analysis-layer methods: :587 compare_scenarios,
+:796 perform_sensitivity_analysis, :877 perform_stress_test,
+:999 export_results), :1786-1985 climate/economic/stress factories.
 """
 from __future__ import annotations
 
+import itertools
+import json
+import os
 from dataclasses import dataclass, field
+
 import numpy as np
 
 from njw_tpu.geofinancial.geo_risk import (
@@ -49,6 +55,9 @@ class ScenarioAnalyzer:
                  model: GeospatialRiskModel):
         self.portfolio = portfolio
         self.model = model
+        # name -> analyze_scenario() result, consumed by the analysis-
+        # layer methods (ref: scenario_analysis.py:372 scenario_results).
+        self.scenario_results: dict[str, dict] = {}
 
     def _scenario_risk(self, scenario: Scenario) -> np.ndarray:
         x, y = self.portfolio.coords()
@@ -99,6 +108,185 @@ class ScenarioAnalyzer:
         cum = np.cumsum(p[order])
         idx = np.searchsorted(cum, confidence)
         return float(results[order[min(idx, len(results) - 1)]])
+
+    # -- analysis layer (ref: scenario_analysis.py:500-1030) -----------
+
+    def analyze_scenario(self, scenario: Scenario) -> dict:
+        """Full per-scenario result (statistics + economic impact),
+        cached in scenario_results (ref: scenario_analysis.py:500
+        analyze_scenario)."""
+        risks = self._scenario_risk(scenario)
+        base = self.evaluate(scenario)
+        values = np.asarray([a.value for a in self.portfolio.assets],
+                            np.float64)
+        total = max(float(values.sum()), 1e-12)
+        result = {
+            "scenario": scenario.name,
+            "description": scenario.description,
+            "statistics": {
+                "mean": float(risks.mean()),
+                "std": float(risks.std()),
+                "min": float(risks.min()),
+                "max": float(risks.max()),
+                "value_weighted_risk": float((values * risks).sum()
+                                             / total),
+            },
+            "economic_impact": {
+                "expected_loss": base["total_loss"],
+                "el_ratio": base["loss_fraction"],
+            },
+            "asset_risks": {a.id: float(r) for a, r
+                            in zip(self.portfolio.assets, risks)},
+        }
+        self.scenario_results[scenario.name] = result
+        return result
+
+    def compare_scenarios(self, scenario_names: list,
+                          baseline_scenario: str = None) -> dict:
+        """Per-scenario abs/rel deltas of every statistic and economic
+        metric vs a baseline (ref: scenario_analysis.py:587)."""
+        for name in scenario_names:
+            if name not in self.scenario_results:
+                raise ValueError(
+                    f"Scenario '{name}' has not been analyzed yet")
+        if baseline_scenario is None:
+            baseline_scenario = scenario_names[0]
+        elif baseline_scenario not in scenario_names:
+            raise ValueError(
+                f"Baseline scenario '{baseline_scenario}' not in list")
+        base = self.scenario_results[baseline_scenario]
+
+        def deltas(section: str) -> dict:
+            out = {}
+            for name in scenario_names:
+                if name == baseline_scenario:
+                    continue
+                row = {}
+                sc = self.scenario_results[name][section]
+                for k in set(base[section]) & set(sc):
+                    b, s = base[section][k], sc[k]
+                    row[k] = {
+                        "baseline": b, "scenario": s,
+                        "abs_diff": s - b,
+                        "rel_diff": (s - b) / b if b != 0
+                        else float("inf"),
+                    }
+                out[name] = row
+            return out
+
+        return {
+            "scenarios": list(scenario_names),
+            "baseline": baseline_scenario,
+            "statistics_comparison": deltas("statistics"),
+            "economic_comparison": deltas("economic_impact"),
+        }
+
+    def perform_sensitivity_analysis(self, risk_factor_name: str,
+                                     multipliers,
+                                     scenario_template: Scenario = None
+                                     ) -> dict:
+        """Sweep one factor's risk multiplier, analyze each point, and
+        return the response curves (ref: scenario_analysis.py:796; the
+        parameter being varied is the factor's multiplier — the njw
+        Scenario's native modifier)."""
+        template = scenario_template or Scenario("sensitivity", "")
+        names = []
+        for m in multipliers:
+            mult = dict(template.risk_multipliers)
+            mult[risk_factor_name] = float(m)
+            s = Scenario(f"{template.name}_{risk_factor_name}_{m:g}",
+                         f"{template.description} "
+                         f"[{risk_factor_name} x {m:g}]",
+                         mult, dict(template.value_shocks),
+                         template.probability)
+            self.analyze_scenario(s)
+            names.append(s.name)
+        rows = [self.scenario_results[n] for n in names]
+        return {
+            "parameter": risk_factor_name,
+            "values": [float(m) for m in multipliers],
+            "scenarios": names,
+            "mean_risks": [r["statistics"]["mean"] for r in rows],
+            "weighted_risks": [r["statistics"]["value_weighted_risk"]
+                               for r in rows],
+            "expected_losses": [r["economic_impact"]["expected_loss"]
+                                for r in rows],
+            "comparison": self.compare_scenarios(names, names[0]),
+        }
+
+    @staticmethod
+    def combine_scenarios(scenarios: list, name: str = None) -> Scenario:
+        """Compose scenarios: risk multipliers multiply, value shocks
+        compose as 1 - prod(1 - s) (both stay monotone and bounded;
+        ref: scenario_analysis.py:908-955 merges modifier lists)."""
+        mult: dict = {}
+        shock_keep: dict = {}
+        for s in scenarios:
+            for k, m in s.risk_multipliers.items():
+                mult[k] = mult.get(k, 1.0) * m
+            for k, v in s.value_shocks.items():
+                shock_keep[k] = shock_keep.get(k, 1.0) * (1.0 - v)
+        shocks = {k: 1.0 - keep for k, keep in shock_keep.items()}
+        return Scenario(
+            name or "combo_" + "_".join(s.name for s in scenarios),
+            "combined: " + ", ".join(s.name for s in scenarios),
+            mult, shocks, 1.0)
+
+    def perform_stress_test(self, stress_scenarios: list,
+                            combination_levels: int = 1) -> dict:
+        """Analyze a baseline, each stress scenario, and (optionally)
+        their k-way combinations; compare all to baseline
+        (ref: scenario_analysis.py:877)."""
+        baseline = Scenario("baseline", "stress-test baseline")
+        self.analyze_scenario(baseline)
+        for s in stress_scenarios:
+            self.analyze_scenario(s)
+        combo_names = []
+        for level in range(2, min(combination_levels,
+                                  len(stress_scenarios)) + 1):
+            for combo in itertools.combinations(stress_scenarios, level):
+                c = self.combine_scenarios(list(combo))
+                self.analyze_scenario(c)
+                combo_names.append(c.name)
+        all_names = (["baseline"] + [s.name for s in stress_scenarios]
+                     + combo_names)
+        metrics = {
+            name: {
+                "mean_risk":
+                    self.scenario_results[name]["statistics"]["mean"],
+                "value_weighted_risk":
+                    self.scenario_results[name]["statistics"]
+                    ["value_weighted_risk"],
+                "expected_loss":
+                    self.scenario_results[name]["economic_impact"]
+                    ["expected_loss"],
+                "el_ratio":
+                    self.scenario_results[name]["economic_impact"]
+                    ["el_ratio"],
+            }
+            for name in all_names
+        }
+        return {
+            "baseline": "baseline",
+            "scenarios": [s.name for s in stress_scenarios],
+            "combinations": combo_names,
+            "metrics": metrics,
+            "comparison": self.compare_scenarios(all_names, "baseline"),
+        }
+
+    def export_results(self, output_path: str) -> str:
+        """Serialize all analyzed scenarios to JSON, per-asset detail
+        dropped for size (ref: scenario_analysis.py:999)."""
+        parent = os.path.dirname(output_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        export = {
+            name: {k: v for k, v in res.items() if k != "asset_risks"}
+            for name, res in self.scenario_results.items()
+        }
+        with open(output_path, "w") as fh:
+            json.dump(export, fh, indent=2)
+        return output_path
 
 
 def create_climate_scenarios() -> ScenarioSet:

@@ -126,20 +126,19 @@ def plot_returns(returns, path: str, *, max_series: int = 12) -> str:
 
 def plot_sensitivity_analysis(analyzer, path: str, *,
                               multipliers=None) -> str:
-    """Loss vs risk-factor multiplier, one curve per factor
-    (ref: ScenarioVisualizer.plot_sensitivity_analysis,
+    """Loss vs risk-factor multiplier, one curve per factor — consumes
+    ScenarioAnalyzer.perform_sensitivity_analysis (the data API), it no
+    longer embeds the math (ref:
+    ScenarioVisualizer.plot_sensitivity_analysis,
     scenario_analysis.py:1034+)."""
-    from njw_tpu.geofinancial.scenarios import Scenario
-
     plt = _plt()
     ms = np.asarray(multipliers if multipliers is not None
                     else np.linspace(0.5, 2.0, 7))
     fig, ax = plt.subplots(figsize=(6.5, 4))
     for rf in analyzer.model.risk_factors:
-        losses = [analyzer.evaluate(Scenario(
-            f"{rf.name} x{m:.2f}", "", {rf.name: float(m)}, {}, 1.0)
-        )["total_loss"] for m in ms]
-        ax.plot(ms, losses, marker="o", label=rf.name)
+        sens = analyzer.perform_sensitivity_analysis(rf.name, ms)
+        ax.plot(sens["values"], sens["expected_losses"], marker="o",
+                label=rf.name)
     ax.set_xlabel("risk multiplier")
     ax.set_ylabel("total loss (USD)")
     ax.set_title("sensitivity analysis")
@@ -176,8 +175,6 @@ def create_scenario_dashboard(analyzer, sset, path: str) -> str:
     """2x2 panel: scenario losses, economic impact (loss fraction),
     sensitivity curves, per-asset risk distribution under the worst case
     (ref: ScenarioVisualizer.create_scenario_dashboard)."""
-    from njw_tpu.geofinancial.scenarios import Scenario
-
     plt = _plt()
     agg = analyzer.evaluate_set(sset)
     results = agg["results"]
@@ -191,9 +188,9 @@ def create_scenario_dashboard(analyzer, sset, path: str) -> str:
     axes[0, 1].set_title("economic impact (% of value)")
     ms = np.linspace(0.5, 2.0, 7)
     for rf in analyzer.model.risk_factors:
-        axes[1, 0].plot(ms, [analyzer.evaluate(Scenario(
-            "s", "", {rf.name: float(m)}, {}, 1.0))["total_loss"]
-            for m in ms], marker="o", label=rf.name)
+        sens = analyzer.perform_sensitivity_analysis(rf.name, ms)
+        axes[1, 0].plot(sens["values"], sens["expected_losses"],
+                        marker="o", label=rf.name)
     axes[1, 0].set_title("sensitivity")
     axes[1, 0].set_xlabel("risk multiplier")
     axes[1, 0].legend(fontsize=8)

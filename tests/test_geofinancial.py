@@ -340,3 +340,163 @@ class TestTestDataGenerator:
         import os
 
         assert os.path.exists(tmp_path / "d" / "assets.csv")
+
+
+class TestScenarioAnalysisLayer:
+    """Data-level analysis methods (ref: scenario_analysis.py:587
+    compare_scenarios, :796 perform_sensitivity_analysis, :877
+    perform_stress_test, :999 export_results)."""
+
+    def _analyzer(self):
+        model = GeospatialRiskModel(
+            [create_elevation_risk_factor(dem64())])
+        return ScenarioAnalyzer(portfolio(), model)
+
+    def test_analyze_scenario_caches_and_structures(self):
+        an = self._analyzer()
+        res = an.analyze_scenario(Scenario("base"))
+        assert "base" in an.scenario_results
+        assert set(res["statistics"]) >= {
+            "mean", "std", "min", "max", "value_weighted_risk"}
+        assert res["economic_impact"]["el_ratio"] <= 1.0
+        assert len(res["asset_risks"]) == 3
+
+    def test_compare_scenarios_deltas(self):
+        an = self._analyzer()
+        an.analyze_scenario(Scenario("base"))
+        an.analyze_scenario(Scenario(
+            "hot", risk_multipliers={"elevation_risk": 2.0}))
+        cmp_ = an.compare_scenarios(["base", "hot"], "base")
+        row = cmp_["statistics_comparison"]["hot"]["mean"]
+        assert row["abs_diff"] >= 0  # doubling risk can't reduce mean
+        assert row["scenario"] == pytest.approx(
+            row["baseline"] + row["abs_diff"])
+        econ = cmp_["economic_comparison"]["hot"]["expected_loss"]
+        assert econ["scenario"] >= econ["baseline"]
+
+    def test_compare_unanalyzed_raises(self):
+        an = self._analyzer()
+        with pytest.raises(ValueError, match="not been analyzed"):
+            an.compare_scenarios(["nope"])
+
+    def test_sensitivity_curve_monotone(self):
+        an = self._analyzer()
+        sens = an.perform_sensitivity_analysis(
+            "elevation_risk", [0.5, 1.0, 1.5, 2.0])
+        assert len(sens["expected_losses"]) == 4
+        assert (np.diff(sens["expected_losses"]) >= -1e-9).all()
+        assert sens["comparison"]["baseline"] == sens["scenarios"][0]
+
+    def test_stress_test_with_combinations(self):
+        an = self._analyzer()
+        flood = Scenario("flood",
+                         risk_multipliers={"elevation_risk": 1.5})
+        crash = Scenario("crash", value_shocks={"default": 0.2,
+                                                "real_estate": 0.3,
+                                                "coastal": 0.2})
+        st = an.perform_stress_test([flood, crash],
+                                    combination_levels=2)
+        assert st["combinations"] == ["combo_flood_crash"]
+        m = st["metrics"]
+        # Combination is at least as severe as each component.
+        assert m["combo_flood_crash"]["expected_loss"] >= \
+            max(m["flood"]["expected_loss"],
+                m["crash"]["expected_loss"]) - 1e-9
+        assert m["baseline"]["expected_loss"] <= \
+            m["flood"]["expected_loss"] + 1e-9
+
+    def test_combine_scenarios_composition_rules(self):
+        a = Scenario("a", risk_multipliers={"f": 1.5},
+                     value_shocks={"c": 0.5})
+        b = Scenario("b", risk_multipliers={"f": 2.0},
+                     value_shocks={"c": 0.5})
+        c = ScenarioAnalyzer.combine_scenarios([a, b])
+        assert c.risk_multipliers["f"] == pytest.approx(3.0)
+        assert c.value_shocks["c"] == pytest.approx(0.75)  # 1-(0.5*0.5)
+
+    def test_export_results_roundtrips(self, tmp_path):
+        import json
+
+        an = self._analyzer()
+        an.analyze_scenario(Scenario("base"))
+        path = an.export_results(str(tmp_path / "sub" / "res.json"))
+        data = json.loads(open(path).read())
+        assert "base" in data
+        assert "asset_risks" not in data["base"]  # detail dropped
+        assert data["base"]["statistics"]["mean"] >= 0
+
+
+class TestMultiRegionAnalysisLayer:
+    """ref: multiregion_analysis.py:644 identify_high_risk_assets,
+    :684 calculate_diversification_benefit, :736
+    perform_cross_region_analysis, :386/:410 save/load."""
+
+    def _setup(self):
+        from njw_tpu.geofinancial import RegionalPortfolio
+
+        model = GeospatialRiskModel(
+            [create_elevation_risk_factor(dem64())])
+        mr = MultiRegionRiskModel()
+        south = RegionDefinition("south", 0, 64, 0, 32)
+        north = RegionDefinition("north", 0, 64, 32, 64)
+        mr.add_region(south, model).add_region(north, model)
+        rp = RegionalPortfolio(portfolio(), [south, north])
+        return mr, rp
+
+    def test_assess_regional_risks_groups_assets(self):
+        mr, rp = self._setup()
+        rr = mr.assess_regional_risks(rp.portfolio)
+        assert set(rr) == {"south", "north"}
+        assert set(rr["south"]) == {"low1", "low2"}
+        assert set(rr["north"]) == {"high1"}
+
+    def test_identify_high_risk_assets_threshold_and_topn(self):
+        mr, rp = self._setup()
+        rr = mr.assess_regional_risks(rp.portfolio)
+        high = mr.identify_high_risk_assets(rr, threshold=0.5)
+        assert {a["asset_id"] for a in high["south"]} == {"low1", "low2"}
+        assert high["north"] == []  # high ground is low risk
+        capped = mr.identify_high_risk_assets(rr, threshold=0.0,
+                                              top_n=1)
+        assert len(capped["south"]) == 1
+        # Sorted descending: first is the riskiest.
+        assert capped["south"][0]["risk_score"] == max(
+            rr["south"].values())
+
+    def test_diversification_benefit_bounds(self):
+        mr, rp = self._setup()
+        rr = mr.assess_regional_risks(rp.portfolio)
+        benefit = mr.calculate_diversification_benefit(rr, rp)
+        assert -1.0 <= benefit <= 1.0
+
+    def test_cross_region_analysis_structure(self):
+        mr, rp = self._setup()
+        res = mr.perform_cross_region_analysis(rp, threshold=0.5)
+        assert res["statistics"]["south"]["n_assets"] == 2
+        corr = np.asarray(res["risk_correlations"]["matrix"])
+        assert corr.shape == (2, 2)
+        assert np.allclose(np.diag(corr), 1.0)
+        alloc = res["recommended_allocation"]
+        assert sum(alloc.values()) == pytest.approx(1.0)
+        # Lower-risk north should be over-allocated vs risky south.
+        assert alloc["north"] > alloc["south"]
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from njw_tpu.geofinancial import RegionalPortfolio
+
+        _, rp = self._setup()
+        rp.portfolio.assets[0].returns = np.array([0.01, -0.02])
+        path = rp.save(str(tmp_path / "rp.json"))
+        back = RegionalPortfolio.load(path)
+        assert [a.id for a in back.portfolio.assets] == \
+            [a.id for a in rp.portfolio.assets]
+        assert [r.name for r in back.regions] == ["south", "north"]
+        np.testing.assert_allclose(back.portfolio.assets[0].returns,
+                                   [0.01, -0.02])
+        assert back.split()["south"].total_value == \
+            rp.split()["south"].total_value
+
+    def test_region_of(self):
+        _, rp = self._setup()
+        assert rp.region_of(rp.portfolio.assets[0]) == "south"
+        assert rp.region_of(rp.portfolio.assets[2]) == "north"
