@@ -12,5 +12,12 @@ from njw_tpu.viz.weather import (
 )
 from njw_tpu.viz.particles import (
     plot_particles_3d, plot_energy_history, plot_trajectory,
+    plot_temperature,
 )
-from njw_tpu.viz.imaging import show_image, show_sinogram, compare_images
+from njw_tpu.viz.imaging import (
+    show_image, show_sinogram, compare_images, create_medical_colormap,
+    plot_overlay, plot_slice, plot_orthogonal_slices,
+    create_volume_animation, plot_histogram, plot_surface_3d,
+    plot_difference, plot_image, plot_images, plot_comparison,
+    plot_ct_projection,
+)

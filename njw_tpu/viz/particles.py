@@ -62,3 +62,23 @@ def plot_trajectory(frames, particle_indices=None,
         fig.savefig(path, dpi=110)
         plt.close(fig)
     return fig
+
+def plot_temperature(temperatures, times=None, target_temp=None,
+                     path: Optional[str] = None):
+    """Temperature-vs-time with an optional target line (ref:
+    molecular-dynamics/python/visualization.py:327 temperature_plot)."""
+    temp = np.asarray(temperatures, np.float64)
+    t = np.asarray(times) if times is not None else np.arange(len(temp))
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    ax.plot(t, temp, color="#d65f5f", label="temperature")
+    if target_temp is not None:
+        ax.axhline(target_temp, color="#4878cf", linestyle="--",
+                   label=f"target {target_temp:g} K")
+    ax.set_xlabel("time")
+    ax.set_ylabel("temperature (K)")
+    ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+    return fig

@@ -8,7 +8,10 @@ from njw_tpu.viz import (
     animate_simulation, compare_images, plot_energy_history,
     plot_particles_3d, plot_performance, plot_trajectory, show_image,
     show_sinogram, visualize_field, visualize_height, visualize_velocity,
-    visualize_vorticity,
+    visualize_vorticity, plot_temperature, create_medical_colormap,
+    plot_overlay, plot_slice, plot_orthogonal_slices,
+    create_volume_animation, plot_histogram, plot_surface_3d,
+    plot_difference, plot_image, plot_ct_projection,
 )
 
 
@@ -73,6 +76,49 @@ class TestImagingViz:
             p = str(tmp_path / name)
             fn(*args, path=p)
             assert os.path.getsize(p) > 0
+
+
+class TestImagingVizFullSurface:
+    """The reference's remaining views (ref: medical-imaging/python/
+    medical_imaging/visualization.py:13-399)."""
+
+    def test_overlay_histogram_difference_surface(self, tmp_path):
+        img = F32(24, 24)
+        seg = (img > 0).astype(np.int32)
+        for fn, args, name in [
+            (plot_overlay, (img, seg), "ovl.png"),
+            (plot_histogram, (img,), "hist.png"),
+            (plot_difference, (img, img * 0.5), "diff.png"),
+            (plot_surface_3d, (img,), "surf.png"),
+        ]:
+            p = str(tmp_path / name)
+            fn(*args, path=p)
+            assert os.path.getsize(p) > 0
+
+    def test_volume_views(self, tmp_path):
+        vol = F32(10, 20, 20)
+        p1 = str(tmp_path / "slice.png")
+        plot_slice(vol, axis=0, path=p1)
+        p2 = str(tmp_path / "ortho.png")
+        plot_orthogonal_slices(vol, path=p2)
+        p3 = str(tmp_path / "anim.gif")
+        create_volume_animation(vol[:4], path=p3)
+        for p in (p1, p2, p3):
+            assert os.path.getsize(p) > 0
+        with pytest.raises(ValueError):
+            plot_orthogonal_slices(F32(8, 8))
+
+    def test_colormap_and_aliases(self, tmp_path):
+        cm = create_medical_colormap()
+        assert cm(0.5) is not None
+        assert plot_image is show_image
+        assert plot_ct_projection is show_sinogram
+
+    def test_md_temperature_plot(self, tmp_path):
+        p = str(tmp_path / "temp.png")
+        plot_temperature(np.linspace(280, 300, 50), target_temp=295.0,
+                         path=p)
+        assert os.path.getsize(p) > 0
 
 
 class TestGeoFinancialViz:
