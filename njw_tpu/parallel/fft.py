@@ -169,7 +169,7 @@ def _pencilize(block: jnp.ndarray, x_axis: str = "x") -> jnp.ndarray:
     ny_loc, nx_loc = block.shape
     if ny_loc % px:
         raise ValueError(
-            f"local rows {ny_loc} must divide the x-ring size {px}")
+            f"x-ring size {px} must divide the local rows {ny_loc}")
     parts = block.reshape(px, ny_loc // px, nx_loc)
     # split_axis=0 scatters row-part j to x-neighbor j; received parts
     # stack at axis 1 = column chunks in source order -> full x extent.

@@ -435,6 +435,10 @@ def sharded_barotropic_step(
     if grid.bc != "periodic":
         raise NotImplementedError("barotropic requires periodic BC")
     if mesh.devices.ndim == 2 and mesh.devices.shape[1] > 1:
+        if not {"y", "x"} <= set(mesh.axis_names):
+            raise ValueError(
+                "2-D barotropic decomposition needs a mesh with axes "
+                f"('y', 'x'); got {mesh.axis_names}")
         return sharded_barotropic_step_2d(
             grid, params, mesh, dt=dt, method=method, n_steps=n_steps)
     n_dev = mesh.devices.size

@@ -63,9 +63,11 @@ def _upsample_axis(f, ratio: int, axis: int):
 
     phases = []
     for i0, w in _upsample1d_weights(ratio):
-        # base index runs over the interior cells 1..n-2
+        # base index runs over the interior cells 1..n-2; i0 is -1 or 0
+        # for center-aligned phases, so both slices are in-bounds.
+        assert -1 <= i0 <= 0 and 2 + i0 <= n
         lo = sl(1 + i0, n - 1 + i0)
-        hi = sl(2 + i0, n + i0) if (2 + i0) <= n else sl(2 + i0 - 1, n - 1 + i0 + 1)
+        hi = sl(2 + i0, n + i0)
         phases.append((1.0 - w) * lo + w * hi)
     stacked = jnp.stack(phases, axis=axis + 1 if axis >= 0
                         else f.ndim + axis + 1)
@@ -160,12 +162,17 @@ def make_nested_swe_stepper(grid: GridSpec, params: PhysicsParams,
         shift_h = _ghost_shift_fn(frames["h"])
 
         def shift(f, dxi=0, dyi=0):
-            # identify the field by object identity (u/v/h)
+            # identify the field by object identity (u/v/h); any other
+            # array would silently read the wrong ghost frame, so refuse
             if f is s.u:
                 return shift_u(f, dxi, dyi)
             if f is s.v:
                 return shift_v(f, dxi, dyi)
-            return shift_h(f, dxi, dyi)
+            if f is s.h:
+                return shift_h(f, dxi, dyi)
+            raise ValueError(
+                "nested shift got an array that is not the state's "
+                "u/v/h; add a ghost frame for new fields")
 
         du, dv, dh = swe_tendencies_from_shifts(
             s.u, s.v, s.h, shift, fg, params)
@@ -180,39 +187,50 @@ def make_nested_swe_stepper(grid: GridSpec, params: PhysicsParams,
             frames[name] = frame.at[..., 1:-1, 1:-1].set(getattr(s, name))
         return fine_tendency_with_ghosts(s, frames)
 
+    def frames_of(cs):
+        return WeatherState(u=nest.prolong_frame(cs.u),
+                            v=nest.prolong_frame(cs.v),
+                            h=nest.prolong_frame(cs.h))
+
+    def fine_stepper_for(bnd):
+        return make_stepper(method, lambda sf: fine_rhs(sf, bnd))
+
+    def init(s: NestedState):
+        # Fine carry (AB2 history, () for single-step methods) threads
+        # through the substep scan AND the outer step carry, so
+        # carry-bearing methods keep their order on the fine grid.
+        return (coarse_stepper.init(s.coarse),
+                fine_stepper_for(frames_of(s.coarse)).init(s.fine))
+
     def step(carry, s: NestedState, dt_in):
-        c_carry = carry
+        c_carry, f_carry = carry
         # 1. advance the coarse grid one full step
         c_carry, coarse_new = coarse_stepper.step(c_carry, s.coarse, dt_in)
 
         # 2. prolonged boundary frames at t and t+dt
-        def frames_of(cs):
-            return WeatherState(u=nest.prolong_frame(cs.u),
-                                v=nest.prolong_frame(cs.v),
-                                h=nest.prolong_frame(cs.h))
-
         b0, b1 = frames_of(s.coarse), frames_of(coarse_new)
 
-        # 3. fine substeps (RK4 in the interior, ghosts linear in time)
-        def substep(fine, k):
+        # 3. fine substeps (full method in the interior, ghosts linear
+        # in time); carry threads across substeps and outer steps
+        def substep(fc, k):
+            fine, fcar = fc
             theta = (k.astype(jnp.float32) + 0.5) / r
             bnd = jax.tree.map(lambda a, b: a + theta * (b - a), b0, b1)
-            tend = lambda sf: fine_rhs(sf, bnd)
-            stepper = make_stepper(method, tend)
-            _, fine2 = stepper.step(stepper.init(fine), fine, dt_in / r)
-            return fine2, None
+            fcar, fine2 = fine_stepper_for(bnd).step(fcar, fine, dt_in / r)
+            return (fine2, fcar), None
 
-        fine_new, _ = jax.lax.scan(substep, s.fine, jnp.arange(r))
+        (fine_new, f_carry), _ = jax.lax.scan(
+            substep, (s.fine, f_carry), jnp.arange(r))
 
         # 4. two-way feedback: restrict fine onto the coarse patch cells
         coarse_fb = WeatherState(
             u=nest.feedback(coarse_new.u, fine_new.u),
             v=nest.feedback(coarse_new.v, fine_new.v),
             h=nest.feedback(coarse_new.h, fine_new.h))
-        return c_carry, NestedState(coarse=coarse_fb, fine=fine_new)
+        return (c_carry, f_carry), NestedState(coarse=coarse_fb,
+                                               fine=fine_new)
 
-    return Stepper(
-        lambda s: coarse_stepper.init(s.coarse), step, "nested_" + method, 2)
+    return Stepper(init, step, "nested_" + method, 2)
 
 
 def make_nested_sim(sim_cls, config, initial_condition: str,

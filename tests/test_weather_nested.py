@@ -176,3 +176,28 @@ def test_nested_sim_driver():
     assert snap["h"].shape == (48, 48)
     assert snap["fine_h"].shape == (48, 48)
     assert np.isfinite(snap["fine_h"]).all()
+
+
+def test_nested_ab2_carry_threads_through_substeps():
+    """Carry-bearing methods keep their order on the fine grid: nested
+    AB2 must differ from nested Euler (the old code re-initialized the
+    fine carry every substep, collapsing AB2 to Euler there), and stay
+    steady on a resting state."""
+    g = _grid(32)
+    params = PhysicsParams(gravity=9.81, coriolis_f=1e-4)
+    nest = NestedGrid(g, patch=(8, 24, 8, 24), ratio=2)
+    pos_f = 8.0 + (np.arange(32) + 0.5) / 2.0 - 0.5
+
+    def run(method):
+        stepper = make_nested_swe_stepper(g, params, nest, dt=0.05,
+                                          method=method)
+        coarse = _gaussian_state(32, np.arange(32.0), center=16.0)
+        fine = _gaussian_state(32, pos_f, center=16.0)
+        s = NestedState(coarse=coarse, fine=fine)
+        return _run(stepper, s, 6, 0.05)
+
+    ab2 = run("adams_bashforth")
+    eul = run("euler")
+    d_fine = float(jnp.abs(ab2.fine.h - eul.fine.h).max())
+    assert d_fine > 1e-6  # fine grid actually integrates with AB2
+    assert np.isfinite(np.asarray(ab2.fine.h)).all()
