@@ -381,6 +381,168 @@ def fir_batch_pallas_lanes(x, taps, *, block_rows: int = 1000,
                            bm, bf, passes, interpret, scratch)
 
 
+def _fir_lanes_bf16_nonscratch_kernel(x_ref, tail_ref, hcat_ref,
+                                      hcat_lo_ref, y_ref, *, n: int,
+                                      bw: int, taps_passes: int,
+                                      out_dtype):
+    """bf16 lanes kernel without the VMEM carry: the previous-frame tail
+    arrives as a second (aliased) input block, so both grid axes can be
+    declared parallel and Mosaic is free to pipeline blocks."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = x_ref.shape[0]
+    nfb = bw // _F
+
+    xb = x_ref[...]
+    if n % bw != 0:
+        def _masked():
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, bw), 1)
+            return jnp.where(col + j * bw < n, xb, jnp.bfloat16(0))
+
+        xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
+    tail = jnp.where(j > 0, tail_ref[...], jnp.bfloat16(0))
+
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    hcat = hcat_ref[...]
+    outs = []
+    for f in range(nfb):
+        c = (jnp.concatenate([tail, xb[:, :_F]], axis=1) if f == 0
+             else xb[:, (f - 1) * _F:(f + 1) * _F])
+        y = dot(c, hcat)
+        if taps_passes >= 2:
+            y += dot(c, hcat_lo_ref[...])
+        outs.append(y)
+    y_ref[...] = jnp.concatenate(outs, axis=1).astype(out_dtype)
+
+
+def _fir_lanes_bf16_kernel(x_ref, hcat_ref, hcat_lo_ref, y_ref, carry_ref,
+                           *, n: int, bw: int, taps_passes: int,
+                           out_dtype):
+    """bf16 time-on-lanes kernel: bf16 signal operand (no hi/lo split of
+    x at all — the VPU-convert bottleneck of the f32 kernel vanishes),
+    f32 MXU accumulation, bf16 output. Matches the reference's own
+    half-precision tensor-core contract (half x half -> float accumulate,
+    ref: high_perf_gpu_support.cu:103-144). taps_passes=2 adds one extra
+    matmul against the taps' bf16 residual, recovering ~f32 tap accuracy
+    at zero extra HBM traffic."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    bm = x_ref.shape[0]
+    nfb = bw // _F
+
+    xb = x_ref[...]                                    # bf16
+    if n % bw != 0:
+        def _masked():
+            col = jax.lax.broadcasted_iota(jnp.int32, (bm, bw), 1)
+            return jnp.where(col + j * bw < n, xb,
+                             jnp.bfloat16(0))
+
+        xb = jax.lax.cond(j == nj - 1, _masked, lambda: xb)
+    tail = jnp.where(j > 0, carry_ref[...], jnp.bfloat16(0))
+
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    hcat = hcat_ref[...]
+    outs = []
+    for f in range(nfb):
+        c = (jnp.concatenate([tail, xb[:, :_F]], axis=1) if f == 0
+             else xb[:, (f - 1) * _F:(f + 1) * _F])
+        y = dot(c, hcat)
+        if taps_passes >= 2:
+            y += dot(c, hcat_lo_ref[...])
+        outs.append(y)
+    y_ref[...] = jnp.concatenate(outs, axis=1).astype(out_dtype)
+    carry_ref[...] = xb[:, bw - _F:]
+
+
+@partial(jax.jit,
+         static_argnames=("block_rows", "block_frames", "taps_passes",
+                          "interpret", "out_dtype", "scratch"))
+def _fir_lanes_bf16_call(x, h0, h1, block_rows: int, block_frames: int,
+                         taps_passes: int, interpret: bool,
+                         out_dtype=jnp.bfloat16, scratch: bool = True):
+    b, n = x.shape
+    bm = block_rows
+    bw = block_frames * _F
+    grid = (pl.cdiv(b, bm), pl.cdiv(n, bw))
+    hcat = jnp.concatenate([h1, h0], axis=0)       # (256, 128): [H1; H0]
+    hcat_hi, hcat_lo = _split_hi_lo(hcat)
+    hspec = pl.BlockSpec((2 * _F, _F), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((bm, bw), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    if not scratch:
+        nfb = block_frames
+        return pl.pallas_call(
+            partial(_fir_lanes_bf16_nonscratch_kernel, n=n, bw=bw,
+                    taps_passes=taps_passes, out_dtype=out_dtype),
+            out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+            grid=grid,
+            in_specs=[
+                xspec,
+                pl.BlockSpec((bm, _F),
+                             lambda i, j: (i, jnp.maximum(j * nfb - 1,
+                                                          0)),
+                             memory_space=pltpu.VMEM),
+                hspec, hspec,
+            ],
+            out_specs=xspec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x, x, hcat_hi, hcat_lo)
+    return pl.pallas_call(
+        partial(_fir_lanes_bf16_kernel, n=n, bw=bw,
+                taps_passes=taps_passes, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n), out_dtype),
+        grid=grid,
+        in_specs=[xspec, hspec, hspec],
+        out_specs=xspec,
+        scratch_shapes=[pltpu.VMEM((bm, _F), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, hcat_hi, hcat_lo)
+
+
+def fir_batch_pallas_bf16(x, taps, *, block_rows: int = 1000,
+                          block_frames: int = 64, taps_passes: int = 1,
+                          out_dtype=jnp.bfloat16, scratch: bool = False,
+                          interpret: bool = False):
+    """Opt-in half-precision batch FIR: bf16 signal in, bf16 out, f32
+    accumulation — the equal-precision comparison against the reference's
+    tensor-core rows (its WMMA path is half in/out with float accumulate,
+    ref: high_perf_gpu_support.cu:103-144). HBM traffic halves vs the f32
+    kernel (0.4 GB for the 1000 x 100k row -> 0.49 ms v5e floor) and the
+    VPU hi/lo-convert bottleneck disappears (x is used as-is).
+
+    Accepts f32 (converted once, outside the kernel) or bf16 input;
+    returns bf16. taps_passes=2 adds one in-VMEM matmul against the
+    taps' bf16 residual (3.9e-3 -> 3.1e-3 rel err; signal quantization
+    dominates either way, so single-pass is the default — it measures
+    1.04 ms vs 1.56 for tp2 at the tuned block shape). Tuned on v5e
+    (BENCH_NOTES r4): block_frames=64, non-scratch (parallel grid
+    pipelining beats the VMEM tail carry), 1.036 ms for the 1000 x 100k
+    row vs H100's published 1.6 ms (ref README.md:151) — 47% of the
+    0.49 ms HBM floor."""
+    from njw_tpu.signal.filters import _fir_band_matrices
+
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError("fir_batch_pallas_bf16 expects (B, n) signals")
+    if x.dtype != jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    k = int(np.shape(taps)[0])
+    if k > _F:
+        raise ValueError(f"taps must be <= {_F}")
+    h0, h1 = _fir_band_matrices(np.asarray(taps))
+    bm = min(block_rows, x.shape[0])
+    bf = min(block_frames, pl.cdiv(x.shape[1], _F))
+    return _fir_lanes_bf16_call(x, jnp.asarray(h0), jnp.asarray(h1),
+                                bm, bf, taps_passes, interpret,
+                                jnp.dtype(out_dtype).type, scratch)
+
+
 def fir_batch_pallas(x, taps, *, block_rows: int = 40,
                      block_frames: int = 128, passes: int = 3,
                      interpret: bool = False):

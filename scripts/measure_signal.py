@@ -38,6 +38,9 @@ REF_ROWS = {
     "spectrogram_10s": ("Spectrogram, 10 s audio",       1243.8, None, 0.6),
     "mxu_conv_1m":     ("MXU (tensor-core) conv, 1M",     318.4, None, 0.11),
     "batch_1000x100k": ("Batch 1000 signals x 100k",     5941.7, None, 1.6),
+    "batch_1000x100k_bf16": (
+        "Batch 1000 x 100k, bf16 (equal precision to the ref's "
+        "tensor-core half rows)",                        5941.7, None, 1.6),
 }
 
 
@@ -171,8 +174,19 @@ def build_rows(iters: int):
     # chain (y -> x), not probe: the probe's x + c perturbation adds a
     # full 400 MB materialized add (~1 ms) per iteration; FIR is
     # shape-preserving so the chained form measures the pure kernel.
-    rows.append(("batch_1000x100k", max(iters // 4, 2),
+    # base count >= 4: at K=2 the differential showed a 3x run-to-run
+    # spread on the shared tunnel (one r4 run read 0.80 ms — below the
+    # 0.98 ms HBM floor, i.e. a measurement artifact, BENCH_NOTES r4)
+    rows.append(("batch_1000x100k", max(iters // 4, 4),
                  lambda n: chain(lambda x: fir_apply(x, taps101), xbatch, n)))
+
+    from njw_tpu.signal.fir_pallas import fir_batch_pallas_bf16
+
+    xbatch16 = xbatch.astype(jnp.bfloat16)  # half-precision storage row
+    rows.append(("batch_1000x100k_bf16", max(iters // 2, 2),
+                 lambda n: chain(
+                     lambda x: fir_batch_pallas_bf16(x, taps101), xbatch16,
+                     n)))
     return rows
 
 

@@ -186,6 +186,30 @@ class TestFIR:
         ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
         np.testing.assert_allclose(y, ref, atol=2e-4)
 
+    @pytest.mark.parametrize("shape", [(3, 1000), (2, 300)])
+    def test_bf16_lanes_kernel_matches_oracle(self, shape):
+        """Opt-in half-precision kernel (bf16 in/out, f32 accumulate) vs
+        the NumPy oracle within the bf16 quantization band — the
+        equal-precision contract of the reference's tensor-core path
+        (ref: high_perf_gpu_support.cu:103-144)."""
+        from njw_tpu.signal.fir_pallas import fir_batch_pallas_bf16
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(shape).astype(np.float32)
+        taps = rng.standard_normal(101).astype(np.float32) * 0.1
+        y = np.asarray(fir_batch_pallas_bf16(
+            x, taps, block_rows=8, block_frames=4, interpret=True),
+            np.float32)
+        assert y.dtype == np.float32  # cast back for comparison
+        ref = np.stack([np.convolve(r, taps)[:shape[1]] for r in x])
+        scale = np.abs(ref).max()
+        assert np.abs(y - ref).max() / scale < 1.5e-2
+        # taps_passes=1 is strictly coarser but same order
+        y1 = np.asarray(fir_batch_pallas_bf16(
+            x, taps, block_rows=8, block_frames=4, taps_passes=1,
+            interpret=True), np.float32)
+        assert np.abs(y1 - ref).max() / scale < 3e-2
+
     def test_batch_pallas_single_pass_accuracy(self):
         """passes=1 (pure bf16) stays within the documented ~2e-3 band."""
         from njw_tpu.signal.fir_pallas import fir_batch_pallas
