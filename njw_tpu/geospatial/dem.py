@@ -265,17 +265,31 @@ def flow_direction(dem):
     return jnp.where(has_down, best, -1)
 
 
-@partial(jax.jit, static_argnames=("n_iterations",))
-def flow_accumulation(dem, n_iterations: int = 0):
+@partial(jax.jit, static_argnames=("n_iterations", "method"))
+def flow_accumulation(dem, n_iterations: int = 0,
+                      method: str = "doubling"):
     """Cells drained through each cell (including itself).
 
     The D8 directions form a forest (each cell has at most one outgoing
     pointer), so accumulation = sum_k (F^T)^k w with F the pointer matrix.
-    F^T is nilpotent, so the series is computed EXACTLY by pointer
-    doubling: ceil(log2(n)) rounds of (scatter-add along ptr; ptr <-
-    ptr[ptr]) — replaces the r2 one-cell-per-iteration push (256
-    sequential rounds) with ~18 for a 512^2 grid. n_iterations (kept for
-    API compatibility) optionally caps the resolvable path length."""
+
+    method='doubling' (default): F^T is nilpotent, so the series is
+    computed EXACTLY by pointer doubling: ceil(log2(n)) rounds of
+    (scatter-add along ptr; ptr <- ptr[ptr]) — ~18 rounds for a 512^2
+    grid, but each round is a full-grid gather + scatter (the measured
+    TPU anti-pattern; it lands at ~1x vs CPU, BENCH_NOTES).
+
+    method='push': gather-free Jacobi mass push — every cell's moving
+    mass advances ONE hop per round via 8 masked zero-fill shifts (pure
+    VPU ops, stencil-shaped), while-looped until no mass moves. Exact
+    same answer; round count = longest drainage path instead of log2(n),
+    so it wins when paths are short relative to the gather/scatter cost
+    (see BENCH_NOTES r4 measurement).
+
+    n_iterations (kept for API compatibility) optionally caps the
+    resolvable path length for either method."""
+    if method == "push":
+        return _flow_accumulation_push(dem, n_iterations)
     z = jnp.asarray(dem, jnp.float32)
     h, w = z.shape
     n = h * w
@@ -310,6 +324,42 @@ def flow_accumulation(dem, n_iterations: int = 0):
     acc, _, _ = jax.lax.while_loop(
         cond, body, (acc0, ptr, jnp.int32(0)))
     return acc[:n].reshape(h, w)
+
+
+@partial(jax.jit, static_argnames=("n_iterations",))
+def _flow_accumulation_push(dem, n_iterations: int = 0):
+    """Gather-free flow accumulation: masked-roll Jacobi push (see
+    flow_accumulation(method='push'))."""
+    z = jnp.asarray(dem, jnp.float32)
+    h, w = z.shape
+    fdir = flow_direction(z)
+    valid = fdir >= 0
+    max_rounds = h * w if n_iterations <= 0 else int(n_iterations)
+
+    def shift_to(f, dy: int, dx: int):
+        """Mass at (y, x) lands at (y+dy, x+dx); off-grid mass drains
+        away (zero fill), matching the doubling method's dead slot."""
+        p = jnp.pad(f, 1)
+        return p[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+
+    def body(state):
+        acc, mov, i = state
+        pushed = jnp.zeros_like(acc)
+        for d, (dy, dx) in enumerate(_D8_OFFSETS.tolist()):
+            pushed = pushed + shift_to(
+                jnp.where(fdir == d, mov, 0.0), dy, dx)
+        # mass landing on a pit stays (already counted in acc)
+        return (acc + pushed, jnp.where(valid, pushed, 0.0), i + 1)
+
+    def cond(state):
+        _, mov, i = state
+        return (i < max_rounds) & jnp.any(mov > 0)
+
+    acc0 = jnp.ones((h, w), jnp.float32)
+    mov0 = jnp.where(valid, 1.0, 0.0)
+    acc, _, _ = jax.lax.while_loop(cond, body,
+                                   (acc0, mov0, jnp.int32(0)))
+    return acc
 
 
 @partial(jax.jit, static_argnames=("n_iterations",))

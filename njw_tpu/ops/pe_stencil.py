@@ -479,10 +479,324 @@ def pe_stage_pallas_local(
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
 
+def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
+                    f: float, phi_s=None):
+    """PE tendency over padded VALUE arrays (L, H, W) / (H, W): the
+    stage-kernel arithmetic (see _pe_stage_kernel, kept in the same
+    operation order) restated over values so the whole-RK4 kernel can
+    chain it. Validity shrinks one row/lane per call; returns stacked
+    (L, H, W) tendencies + (H, W) dps."""
+    cx = 0.5 / dx
+    cy = 0.5 / dy
+    dsig = 1.0 / L
+
+    def sx(a, s):
+        return pltpu.roll(a, (-s) % a.shape[-1], a.ndim - 1)
+
+    def sy(a, s):
+        return pltpu.roll(a, (-s) % a.shape[-2], a.ndim - 2)
+
+    def ddx(a):
+        return (sx(a, 1) - sx(a, -1)) * cx
+
+    def ddy(a):
+        return (sy(a, 1) - sy(a, -1)) * cy
+
+    lnps = jnp.log(ps)
+    lnps_x = ddx(lnps)
+    lnps_y = ddy(lnps)
+
+    flux_sum = None
+    cum = []
+    for kk in range(L):
+        fd = ddx(ps * u[kk]) + ddy(ps * v[kk])
+        flux_sum = fd if flux_sum is None else flux_sum + fd
+        cum.append(flux_sum)
+    dps = -flux_sum * dsig
+
+    inv_ps = 1.0 / ps
+    dps_over_ps = dps * inv_ps
+    zero = jnp.zeros_like(dps)
+
+    def sdot_half(kk):
+        if kk == 0 or kk == L:
+            return zero
+        sig_h = kk / L
+        return (-sig_h * dps - cum[kk - 1] * dsig) * inv_ps
+
+    sig = [(kk + 0.5) / L for kk in range(L)]
+    inv2dsig = 0.5 / dsig
+
+    phi = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]
+    if phi_s is not None:
+        phi = phi + phi_s
+    sd_dn = zero
+    du_l = [None] * L
+    dv_l = [None] * L
+    dT_l = [None] * L
+    dq_l = [None] * L
+    for kk in range(L - 1, -1, -1):
+        sd_up = sdot_half(kk)
+        uk, vk, Tk, qk = u[kk], v[kk], T[kk], q[kk]
+        u_x, u_y = ddx(uk), ddy(uk)
+        v_x, v_y = ddx(vk), ddy(vk)
+        T_x, T_y = ddx(Tk), ddy(Tk)
+        q_x, q_y = ddx(qk), ddy(qk)
+        phi_x, phi_y = ddx(phi), ddy(phi)
+
+        u_up = (u[kk] - u[kk - 1]) if kk > 0 else zero
+        u_dn = (u[kk + 1] - u[kk]) if kk < L - 1 else zero
+        v_up = (v[kk] - v[kk - 1]) if kk > 0 else zero
+        v_dn = (v[kk + 1] - v[kk]) if kk < L - 1 else zero
+        T_up = (T[kk] - T[kk - 1]) if kk > 0 else zero
+        T_dn = (T[kk + 1] - T[kk]) if kk < L - 1 else zero
+        q_up = (q[kk] - q[kk - 1]) if kk > 0 else zero
+        q_dn = (q[kk + 1] - q[kk]) if kk < L - 1 else zero
+        vadv_u = (sd_dn * u_dn + sd_up * u_up) * inv2dsig
+        vadv_v = (sd_dn * v_dn + sd_up * v_up) * inv2dsig
+        vadv_T = (sd_dn * T_dn + sd_up * T_up) * inv2dsig
+        vadv_q = (sd_dn * q_dn + sd_up * q_up) * inv2dsig
+
+        du_l[kk] = (-uk * u_x - vk * u_y - vadv_u + f * vk
+                    - phi_x - R_DRY * Tk * lnps_x)
+        dv_l[kk] = (-uk * v_x - vk * v_y - vadv_v - f * uk
+                    - phi_y - R_DRY * Tk * lnps_y)
+
+        dlnps_adv = dps_over_ps + uk * lnps_x + vk * lnps_y
+        sdot_full = 0.5 * (sd_up + sd_dn)
+        omega_over_p = sdot_full / sig[kk] + dlnps_adv
+        dT_l[kk] = (-uk * T_x - vk * T_y - vadv_T
+                    + KAPPA * Tk * omega_over_p)
+        dq_l[kk] = -uk * q_x - vk * q_y - vadv_q
+
+        if kk > 0:
+            thick = R_DRY * 0.5 * np.log(sig[kk] / sig[kk - 1])
+            phi = phi + thick * (T[kk - 1] + T[kk])
+            sd_dn = sd_up
+
+    return (jnp.stack(du_l), jnp.stack(dv_l), jnp.stack(dT_l),
+            jnp.stack(dq_l), dps)
+
+
+def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
+                   f: float, dt: float, has_phi_s: bool):
+    """Whole-RK4 PE kernel: the entire step in ONE HBM round-trip.
+
+    refs: 9 per field x 5 fields (center, y-top/bottom slabs, x-left/
+    right slabs, and the 4 corner slabs — multi-stage chaining makes the
+    halo rows' x-pads feed interior outputs, so corners must carry TRUE
+    neighbor data, unlike the 1-stage kernel's self-wrap), [9 phi_s refs
+    when has_phi_s], then 5 outputs.
+
+    Same accumulator form as the SWE kernel (ops.stencil.swe_rk4_kernel):
+    only {s, current stage, acc} live — the r1 'three L-lists' VMEM
+    ceiling does not apply. Validity shrinks 1 row/lane per stage; the
+    4-row/4-lane halo ends exactly on the (by, bx) interior.
+
+    Traffic/step: read s once (+ halo slabs), write s' once — vs the
+    4-stage composition's 4x (cur + base + out). At config 5 (2048^2x40,
+    (16,512) blocks) that is ~9.5 GB/step vs ~43 GB.
+    """
+    h4 = 4
+
+    def pad3(c, t, b, xl, xr, tl, tr, bl, br):
+        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=2)
+        top = jnp.concatenate([tl[:, -h4:, :], t[:, -h4:, :],
+                               tr[:, -h4:, :]], axis=2)
+        bot = jnp.concatenate([bl[:, :h4, :], b[:, :h4, :],
+                               br[:, :h4, :]], axis=2)
+        return jnp.concatenate([top, mid, bot], axis=1)
+
+    def pad2(c, t, b, xl, xr, tl, tr, bl, br):
+        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=1)
+        top = jnp.concatenate([tl[-h4:, :], t[-h4:, :], tr[-h4:, :]],
+                              axis=1)
+        bot = jnp.concatenate([bl[:h4, :], b[:h4, :], br[:h4, :]],
+                              axis=1)
+        return jnp.concatenate([top, mid, bot], axis=0)
+
+    u = pad3(*refs[0:9])
+    v = pad3(*refs[9:18])
+    T = pad3(*refs[18:27])
+    q = pad3(*refs[27:36])
+    ps = pad2(*refs[36:45])
+    off = 45
+    phi_s = None
+    if has_phi_s:
+        phi_s = pad2(*refs[off:off + 9])
+        off += 9
+    ou, ov, oT, oq, ops_ = refs[off:]
+
+    tend = functools.partial(_pe_tend_values, L=L, dx=dx, dy=dy, f=f,
+                             phi_s=phi_s)
+
+    def axpy(c, t_, s_):
+        return tuple(si + c * ti for si, ti in zip(s_, t_))
+
+    s = (u, v, T, q, ps)
+    half = 0.5 * dt
+    t1 = tend(*s)
+    s1 = axpy(half, t1, s)
+    acc = tuple(a - b for a, b in zip(s1, s))          # -s + s1
+    t2 = tend(*s1)
+    s2 = axpy(half, t2, s)
+    acc = tuple(a + 2.0 * b for a, b in zip(acc, s2))
+    t3 = tend(*s2)
+    s3 = axpy(dt, t3, s)
+    acc = tuple(a + b for a, b in zip(acc, s3))
+    t4 = tend(*s3)
+    third = 1.0 / 3.0
+    sixth = dt / 6.0
+    out = tuple(a * third + sixth * t_ for a, t_ in zip(acc, t4))
+
+    ou[:] = out[0][:, h4:h4 + by, LANE:LANE + bx]
+    ov[:] = out[1][:, h4:h4 + by, LANE:LANE + bx]
+    oT[:] = out[2][:, h4:h4 + by, LANE:LANE + bx]
+    oq[:] = out[3][:, h4:h4 + by, LANE:LANE + bx]
+    ops_[:] = out[4][h4:h4 + by, LANE:LANE + bx]
+
+
+def _rk4_block_specs(L: int, ny: int, nx: int, by: int, bx: int):
+    """9-spec sets (center, t, b, l, r, tl, tr, bl, br) for 3-D and 2-D
+    fields over a (ny//by, nx//bx) grid."""
+    r = by // 8
+    nby = ny // 8
+    cxb = bx // LANE
+    nxb = nx // LANE
+
+    def s3(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, j, iy=iy, ix=ix: (
+            0, iy(i), ix(j)), memory_space=pltpu.VMEM)
+
+    def s2(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, j, iy=iy, ix=ix: (
+            iy(i), ix(j)), memory_space=pltpu.VMEM)
+
+    cy_ = lambda i: i
+    ty_ = lambda i: (i * r - 1) % nby
+    by_ = lambda i: (i * r + r) % nby
+    cx_ = lambda j: j
+    # center y rows use block units of by; slab rows use units of 8; x
+    # center uses units of bx, slabs units of LANE
+    lx_ = lambda j: (j * cxb - 1) % nxb
+    rx_ = lambda j: (j * cxb + cxb) % nxb
+    specs3 = (
+        s3((L, by, bx), cy_, cx_),
+        s3((L, 8, bx), ty_, cx_), s3((L, 8, bx), by_, cx_),
+        s3((L, by, LANE), cy_, lx_), s3((L, by, LANE), cy_, rx_),
+        s3((L, 8, LANE), ty_, lx_), s3((L, 8, LANE), ty_, rx_),
+        s3((L, 8, LANE), by_, lx_), s3((L, 8, LANE), by_, rx_),
+    )
+    specs2 = (
+        s2((by, bx), cy_, cx_),
+        s2((8, bx), ty_, cx_), s2((8, bx), by_, cx_),
+        s2((by, LANE), cy_, lx_), s2((by, LANE), cy_, rx_),
+        s2((8, LANE), ty_, lx_), s2((8, LANE), ty_, rx_),
+        s2((8, LANE), by_, lx_), s2((8, LANE), by_, rx_),
+    )
+    return specs3, specs2
+
+
+def _rk4_vmem_estimate(L: int, by: int, bx: int) -> int:
+    """~4 live padded states (s, stage, acc, next) + cum list + I/O."""
+    plane = (by + 8) * (bx + 2 * LANE)
+    state = (4 * L + 1) * plane
+    io = (4 * L + 1) * (by * bx + 2 * 8 * bx + 2 * by * LANE
+                        + 4 * 8 * LANE) * 2  # in + out, double-buffered
+    persist = 4 * state + (L + 30) * plane
+    return (persist + 2 * io) * 4
+
+
+def _rk4_pick_blocks(L: int, ny: int, nx: int,
+                     vmem_budget: int) -> Optional[Tuple[int, int]]:
+    best, best_cost = None, None
+    for by in (32, 16, 8):
+        if ny % by:
+            continue
+        for bx in (nx, 2048, 1024, 512, 256, 128):
+            if bx > nx or nx % bx or bx % 128:
+                continue
+            if _rk4_vmem_estimate(L, by, bx) > vmem_budget:
+                continue
+            cost = 16.0 / by + (0.0 if bx == nx else 256.0 / bx)
+            if best is None or cost < best_cost - 1e-9:
+                best, best_cost = (by, bx), cost
+    return best
+
+
+def pe_rk4_fused_supported(grid: GridSpec, params: PhysicsParams) -> bool:
+    """Eligibility for the whole-RK4 fused kernel."""
+    from njw_tpu.platform.device import detect
+
+    return (pe_pallas_supported(grid, params)
+            and _rk4_pick_blocks(grid.levels, grid.ny, grid.nx,
+                                 _vmem_budget(detect())) is not None)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "dt", "coriolis_f", "by", "bx", "interpret"),
+)
+def pe_rk4_step_pallas(
+    s: PEState, *, grid: GridSpec, dt: float, coriolis_f: float = 0.0,
+    by: Optional[int] = None, bx: Optional[int] = None, phi_s=None,
+    interpret: bool = False,
+) -> PEState:
+    """One whole fused RK4 PE step (see _pe_rk4_kernel)."""
+    L, ny, nx = grid.levels, grid.ny, grid.nx
+    if by is None or bx is None:
+        from njw_tpu.platform.device import detect
+
+        picked = _rk4_pick_blocks(L, ny, nx, _vmem_budget(detect()))
+        if picked is None:
+            raise ValueError("PE fused-RK4 kernel: VMEM budget exceeded")
+        by = by if by is not None else picked[0]
+        bx = bx if bx is not None else picked[1]
+
+    kern = functools.partial(
+        _pe_rk4_kernel, L=L, by=by, bx=bx, dx=float(grid.dx),
+        dy=float(grid.dy), f=float(coriolis_f), dt=float(dt),
+        has_phi_s=phi_s is not None,
+    )
+    specs3, specs2 = _rk4_block_specs(L, ny, nx, by, bx)
+    sh3 = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    out_c3 = pl.BlockSpec((L, by, bx), lambda i, j: (0, i, j),
+                          memory_space=pltpu.VMEM)
+    out_c2 = pl.BlockSpec((by, bx), lambda i, j: (i, j),
+                          memory_space=pltpu.VMEM)
+    vmem_limit = min(_rk4_vmem_estimate(L, by, bx) + (8 << 20),
+                     100 << 20)
+    phis_specs: list = []
+    phis_ops: list = []
+    if phi_s is not None:
+        phis_specs = list(specs2)
+        phis_ops = [phi_s] * 9
+    out = pl.pallas_call(
+        kern,
+        grid=(ny // by, nx // bx),
+        in_specs=(list(specs3) * 4 + list(specs2) + phis_specs),
+        out_specs=(out_c3, out_c3, out_c3, out_c3, out_c2),
+        out_shape=(sh3, sh3, sh3, sh3, sh2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        *([s.u] * 9), *([s.v] * 9), *([s.T] * 9), *([s.q] * 9),
+        *([s.ps] * 9), *phis_ops,
+    )
+    return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
+
+
 def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
                                dt: float, interpret: bool = False,
                                phi_s=None):
-    """RK4 via 4 fused stage kernels + one XLA accumulator pass:
+    """RK4 for the PE core on the Pallas path.
+
+    Preferred: the whole-RK4 fused kernel (pe_rk4_step_pallas) — one HBM
+    round-trip per step (r4; 80.2 -> see BENCH_NOTES config-5 table).
+    Fallback when its 4-live-state VMEM need doesn't fit: 4 fused stage
+    kernels + one XLA accumulator pass:
     s1 = s + dt/2 T(s);  s2 = s + dt/2 T(s1);  s3 = s + dt T(s2)
     acc = (-s + s1 + 2 s2 + s3)/3;  s' = acc + dt/6 T(s3).
     phi_s: optional (ny, nx) surface geopotential (terrain in-kernel)."""
@@ -490,6 +804,15 @@ def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
 
     f = float(params.coriolis_f)
     dt = float(dt)
+
+    if pe_rk4_fused_supported(grid, params):
+        def step_fused(carry, s: PEState, _dt_ignored):
+            return carry, pe_rk4_step_pallas(
+                s, grid=grid, dt=dt, coriolis_f=f, phi_s=phi_s,
+                interpret=interpret)
+
+        return Stepper(lambda s: (), step_fused, "pe_rk4_pallas_fused", 4)
+
     stage = functools.partial(pe_stage_pallas, grid=grid, coriolis_f=f,
                               interpret=interpret, phi_s=phi_s)
 

@@ -60,7 +60,7 @@ def _pick_by(ny: int, nx: int, vmem_bytes: int) -> int:
 def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
                    u_o, v_o, h_o, *, dt: float, gravity: float,
                    coriolis_f: float, dx: float, dy: float, by: int,
-                   x_halo: int = 0, variant: str = "base",
+                   x_halo: int = 0, variant: str = "slices",
                    viscosity: float = 0.0):
     """One grid step: fused RK4 over a (by, w) strip with 4-row y halos.
 
@@ -93,11 +93,24 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
     v = pad(v_c, v_t, v_b)
     h = pad(h_c, h_t, h_b)
 
-    def sx(a, s):  # a shifted so result[i] = a[x + s]; x wraps (periodic)
-        return pltpu.roll(a, (-s) % a.shape[1], 1)
+    if variant in ("slices", "bf16s"):
+        # Static lane/sublane slice+concat instead of dynamic rotate:
+        # same wraparound semantics, but lowers without Mosaic's
+        # dynamic_rotate (which is the r3 blocker for sub-32-bit types
+        # and a candidate for the VPU issue gap — measured either way).
+        def sx(a, s):
+            return jnp.concatenate([a[:, s % a.shape[1]:],
+                                    a[:, :s % a.shape[1]]], axis=1)
 
-    def sy(a, s):  # y shift inside the strip; edge rows become invalid
-        return pltpu.roll(a, (-s) % a.shape[0], 0)
+        def sy(a, s):
+            return jnp.concatenate([a[s % a.shape[0]:],
+                                    a[:s % a.shape[0]]], axis=0)
+    else:
+        def sx(a, s):  # result[i] = a[x + s]; x wraps (periodic)
+            return pltpu.roll(a, (-s) % a.shape[1], 1)
+
+        def sy(a, s):  # y shift inside the strip; edge rows go invalid
+            return pltpu.roll(a, (-s) % a.shape[0], 0)
 
     def visc(uu, vv, du, dv):
         if not nu:
@@ -157,7 +170,8 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
         return visc(uu, vv, du, dv) + (dh,)
 
     tendency = {"base": tendency_base, "folded": tendency_folded,
-                "bf16": tendency_bf16}[variant]
+                "bf16": tendency_bf16, "slices": tendency_base,
+                "bf16s": tendency_bf16}[variant]
 
     half = 0.5 * dt
     # Accumulator form of s' = (-s + s1 + 2 s2 + s3)/3 + (dt/6) T(s3):
@@ -198,7 +212,7 @@ def swe_rk4_kernel(u_c, u_t, u_b, v_c, v_t, v_b, h_c, h_t, h_b,
 def swe_rk4_step_pallas(
     u, v, h, *, grid: GridSpec, dt: float, gravity: float = 9.81,
     coriolis_f: float = 0.0, by: Optional[int] = None, interpret: bool = False,
-    variant: str = "base", viscosity: float = 0.0,
+    variant: str = "slices", viscosity: float = 0.0,
 ):
     """One fused RK4 SWE step on (ny, nx) f32 fields. See module docstring."""
     ny, nx = grid.ny, grid.nx
@@ -256,7 +270,7 @@ def _vmem_cap(by: int, width: int) -> int:
 def make_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams, dt: float,
                             by: Optional[int] = None,
                             interpret: bool = False,
-                            variant: str = "base"):
+                            variant: str = "slices"):
     """Stepper-shaped wrapper so the Simulation driver / scan can use the
     fused kernel interchangeably with the XLA integrators."""
     from njw_tpu.weather.grid import WeatherState

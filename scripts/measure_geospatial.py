@@ -58,6 +58,8 @@ def main():
             "viewshed": lambda d: viewshed(d, src, n_samples=64),
             "fill_sinks": lambda d: fill_sinks(d),
             "flow_accumulation": lambda d: flow_accumulation(d),
+            "flow_accumulation_push": lambda d: flow_accumulation(
+                d, method="push"),
             # the perturbation must not be 0 * x (XLA constant-folds it
             # and hoists the whole op out of the loop)
             "cost_distance": lambda d, c=cost: cost_distance(

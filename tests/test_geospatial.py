@@ -152,6 +152,14 @@ class TestSweepOracles:
         filled = np.asarray(fill_sinks(dem, n_iterations=64, epsilon=eps))
         np.testing.assert_allclose(filled, wv, atol=5e-3)
 
+    def test_flow_push_matches_doubling(self):
+        """The gather-free masked-roll push is bit-identical to the
+        pointer-doubling path (same forest, same drain semantics)."""
+        dem = synthetic_dem(48, seed=5)
+        a = np.asarray(flow_accumulation(dem))
+        b = np.asarray(flow_accumulation(dem, method="push"))
+        np.testing.assert_array_equal(a, b)
+
     def test_flow_accumulation_matches_topological_sum(self):
         dem = synthetic_dem(24, seed=7)
         acc = np.asarray(flow_accumulation(dem))

@@ -69,6 +69,20 @@ class TestFusedKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_slices_variant_matches_base(self):
+        """Static slice+concat shifts (the r4 default: +25% on v5e,
+        BENCH_NOTES) == dynamic-rotate arithmetic to float rounding."""
+        s = make_initial_state("vortex", GRID, strength=2.0)
+        base = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                   coriolis_f=1e-4, by=16, interpret=True,
+                                   variant="base")
+        sl = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=0.01,
+                                 coriolis_f=1e-4, by=16, interpret=True,
+                                 variant="slices")
+        for a, b in zip(base, sl):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_bf16_variant_within_documented_band(self):
         s = make_initial_state("vortex", GRID, strength=2.0)
         ref = _xla_rk4(WeatherState(u=s.u, v=s.v, h=s.h), 0.01)
@@ -157,10 +171,15 @@ def test_multistep_fused_matches_two_single_steps():
 
     s = make_initial_state("vortex", GRID, strength=2.0)
     dt = 0.01
+    # variant='base' (rolls): the multistep kernel uses rolls, and the
+    # comparison is bit-exact only like-for-like (slices differ by FMA
+    # contraction order, ~1 ulp)
     u, v, h = swe_rk4_step_pallas(s.u, s.v, s.h, grid=GRID, dt=dt,
-                                  coriolis_f=1e-4, by=16, interpret=True)
+                                  coriolis_f=1e-4, by=16, interpret=True,
+                                  variant="base")
     u, v, h = swe_rk4_step_pallas(u, v, h, grid=GRID, dt=dt,
-                                  coriolis_f=1e-4, by=16, interpret=True)
+                                  coriolis_f=1e-4, by=16, interpret=True,
+                                  variant="base")
     u2, v2, h2 = swe_rk4_multistep_pallas(
         s.u, s.v, s.h, grid=GRID, dt=dt, coriolis_f=1e-4, by=16,
         n_fused=2, interpret=True)

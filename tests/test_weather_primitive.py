@@ -147,6 +147,50 @@ class TestPEPallasKernel:
                 np.asarray(getattr(out_x, name)),
                 rtol=1e-5, atol=1e-4, err_msg=name)
 
+    def test_fused_rk4_x_blocked_matches_xla(self):
+        """Whole-RK4 fused kernel with bx < nx and multiple row blocks
+        (corner slabs live — halo rows' x pads feed interior outputs
+        after multi-stage chaining) == XLA RK4 step."""
+        import jax.numpy as jnp
+
+        from njw_tpu.ops.pe_stencil import pe_rk4_step_pallas
+        from njw_tpu.weather.integrators import make_stepper
+
+        grid = GridSpec(nx=256, ny=32, levels=4, dx=1e5, dy=1e5)
+        s = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+        out_p = pe_rk4_step_pallas(s, grid=grid, dt=30.0,
+                                   coriolis_f=1e-4, by=8, bx=128,
+                                   interpret=True)
+        xla_st = make_stepper("rk4",
+                              lambda x: pe_tendencies(x, grid, PARAMS))
+        _, out_x = xla_st.step((), s, jnp.float32(30.0))
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_p, name)),
+                np.asarray(getattr(out_x, name)),
+                rtol=1e-5, atol=1e-4, err_msg=name)
+
+    def test_fused_rk4_multi_step_stays_close(self):
+        """5 fused whole-RK4 steps track the XLA stepper."""
+        import jax.numpy as jnp
+
+        from njw_tpu.ops.pe_stencil import pe_rk4_step_pallas
+        from njw_tpu.weather.integrators import make_stepper
+
+        grid = GridSpec(nx=128, ny=32, levels=3, dx=1e5, dy=1e5)
+        sp = sx = pe_initial_state(grid, u_jet=8.0, perturb=0.4)
+        xla_st = make_stepper("rk4",
+                              lambda x: pe_tendencies(x, grid, PARAMS))
+        for _ in range(5):
+            sp = pe_rk4_step_pallas(sp, grid=grid, dt=20.0,
+                                    coriolis_f=1e-4, by=8, bx=128,
+                                    interpret=True)
+            _, sx = xla_st.step((), sx, jnp.float32(20.0))
+        np.testing.assert_allclose(np.asarray(sp.ps), np.asarray(sx.ps),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sp.u), np.asarray(sx.u),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_stage_x_blocked_matches_xla(self):
         """x-blocked path (bx < nx, 128-lane halo slabs) == XLA path —
         the BASELINE config-5 enabler (r2)."""
@@ -310,7 +354,8 @@ class TestPETerrain:
         kw = dict(u_jet=6.0, perturb=0.3, orography=phi_s)
         sp = Simulation.from_config(cfg_p, "baroclinic", **kw)
         sx = Simulation.from_config(cfg_x, "baroclinic", **kw)
-        assert sp.stepper.name == "pe_rk4_pallas"
+        assert sp.stepper.name in ("pe_rk4_pallas",
+                                   "pe_rk4_pallas_fused")
         sp.step(5)
         sx.step(5)
         np.testing.assert_allclose(np.asarray(sp.state.ps),
