@@ -485,16 +485,22 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
     stage-kernel arithmetic (see _pe_stage_kernel, kept in the same
     operation order) restated over values so the whole-RK4 kernel can
     chain it. Validity shrinks one row/lane per call; returns stacked
-    (L, H, W) tendencies + (H, W) dps."""
+    (L, H, W) tendencies + (H, W) dps.
+
+    Shifts are static slice+concat, not pltpu.roll — measured +25% on
+    the SWE kernel (BENCH_NOTES r4: Mosaic's dynamic rotate is the
+    costlier lowering); wraparound semantics identical."""
     cx = 0.5 / dx
     cy = 0.5 / dy
     dsig = 1.0 / L
 
     def sx(a, s):
-        return pltpu.roll(a, (-s) % a.shape[-1], a.ndim - 1)
+        k = s % a.shape[-1]
+        return jnp.concatenate([a[..., k:], a[..., :k]], axis=-1)
 
     def sy(a, s):
-        return pltpu.roll(a, (-s) % a.shape[-2], a.ndim - 2)
+        k = s % a.shape[-2]
+        return jnp.concatenate([a[..., k:, :], a[..., :k, :]], axis=-2)
 
     def ddx(a):
         return (sx(a, 1) - sx(a, -1)) * cx
@@ -579,7 +585,7 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
 
 
 def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
-                   f: float, dt: float, has_phi_s: bool):
+                   f: float, dt: float, has_phi_s: bool, xpad: int = 64):
     """Whole-RK4 PE kernel: the entire step in ONE HBM round-trip.
 
     refs: 9 per field x 5 fields (center, y-top/bottom slabs, x-left/
@@ -599,20 +605,28 @@ def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
     """
     h4 = 4
 
+    # The x slabs arrive 128 lanes wide (lane-tile minimum) but only
+    # `xpad` lanes enter the COMPUTE frame (4 stages need 4; 64 keeps the
+    # padded width 128-aligned) — computing on the full 128-lane pad is
+    # pure overhead at small bx (3x padded points at bx=256).
     def pad3(c, t, b, xl, xr, tl, tr, bl, br):
-        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=2)
-        top = jnp.concatenate([tl[:, -h4:, :], t[:, -h4:, :],
-                               tr[:, -h4:, :]], axis=2)
-        bot = jnp.concatenate([bl[:, :h4, :], b[:, :h4, :],
-                               br[:, :h4, :]], axis=2)
+        # lane-concat FULL 8-row slabs first (sublane offset 0 on every
+        # operand — Mosaic rejects lane concats whose operands sit at
+        # mismatched sublane offsets), then slice rows/lanes.
+        mid = jnp.concatenate([xl[:, :, -xpad:], c[:],
+                               xr[:, :, :xpad]], axis=2)
+        top = jnp.concatenate(
+            [tl[:, :, -xpad:], t[:], tr[:, :, :xpad]], axis=2)[:, -h4:, :]
+        bot = jnp.concatenate(
+            [bl[:, :, -xpad:], b[:], br[:, :, :xpad]], axis=2)[:, :h4, :]
         return jnp.concatenate([top, mid, bot], axis=1)
 
     def pad2(c, t, b, xl, xr, tl, tr, bl, br):
-        mid = jnp.concatenate([xl[:], c[:], xr[:]], axis=1)
-        top = jnp.concatenate([tl[-h4:, :], t[-h4:, :], tr[-h4:, :]],
-                              axis=1)
-        bot = jnp.concatenate([bl[:h4, :], b[:h4, :], br[:h4, :]],
-                              axis=1)
+        mid = jnp.concatenate([xl[:, -xpad:], c[:], xr[:, :xpad]], axis=1)
+        top = jnp.concatenate(
+            [tl[:, -xpad:], t[:], tr[:, :xpad]], axis=1)[-h4:, :]
+        bot = jnp.concatenate(
+            [bl[:, -xpad:], b[:], br[:, :xpad]], axis=1)[:h4, :]
         return jnp.concatenate([top, mid, bot], axis=0)
 
     u = pad3(*refs[0:9])
@@ -649,11 +663,11 @@ def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
     sixth = dt / 6.0
     out = tuple(a * third + sixth * t_ for a, t_ in zip(acc, t4))
 
-    ou[:] = out[0][:, h4:h4 + by, LANE:LANE + bx]
-    ov[:] = out[1][:, h4:h4 + by, LANE:LANE + bx]
-    oT[:] = out[2][:, h4:h4 + by, LANE:LANE + bx]
-    oq[:] = out[3][:, h4:h4 + by, LANE:LANE + bx]
-    ops_[:] = out[4][h4:h4 + by, LANE:LANE + bx]
+    ou[:] = out[0][:, h4:h4 + by, xpad:xpad + bx]
+    ov[:] = out[1][:, h4:h4 + by, xpad:xpad + bx]
+    oT[:] = out[2][:, h4:h4 + by, xpad:xpad + bx]
+    oq[:] = out[3][:, h4:h4 + by, xpad:xpad + bx]
+    ops_[:] = out[4][h4:h4 + by, xpad:xpad + bx]
 
 
 def _rk4_block_specs(L: int, ny: int, nx: int, by: int, bx: int):
@@ -697,9 +711,9 @@ def _rk4_block_specs(L: int, ny: int, nx: int, by: int, bx: int):
     return specs3, specs2
 
 
-def _rk4_vmem_estimate(L: int, by: int, bx: int) -> int:
+def _rk4_vmem_estimate(L: int, by: int, bx: int, xpad: int = 64) -> int:
     """~4 live padded states (s, stage, acc, next) + cum list + I/O."""
-    plane = (by + 8) * (bx + 2 * LANE)
+    plane = (by + 8) * (bx + 2 * xpad)
     state = (4 * L + 1) * plane
     io = (4 * L + 1) * (by * bx + 2 * 8 * bx + 2 * by * LANE
                         + 4 * 8 * LANE) * 2  # in + out, double-buffered

@@ -88,7 +88,8 @@ class SphericalHarmonicTransform:
     """
 
     def __init__(self, nlat: int, trunc: int | None = None,
-                 radius: float = 6.371e6, dtype=jnp.float32):
+                 radius: float = 6.371e6, dtype=jnp.float32,
+                 table_dtype=None):
         self.nlat = int(nlat)
         self.nlon = 2 * self.nlat
         self.trunc = int(trunc) if trunc is not None else \
@@ -106,6 +107,13 @@ class SphericalHarmonicTransform:
 
         cdtype = jnp.complex64 if dtype == jnp.float32 else jnp.complex128
         self.dtype, self.cdtype = dtype, cdtype
+        # Opt-in bf16 Legendre tables: at T341 the cores are HBM-bound on
+        # table reads (~240 MB/table f32), so halving table storage is a
+        # direct bandwidth lever; XLA fuses the upcast into the matmul
+        # operand feed and accumulation stays f32. Accuracy cost is the
+        # bf16 table quantization (~4e-3 relative per transform) —
+        # measured in BENCH_NOTES r4. Default: full f32.
+        self.table_dtype = table_dtype if table_dtype is not None else dtype
 
         # Convert dtypes in NUMPY before the device transfer: an eager
         # on-device convert_element_type is UNIMPLEMENTED on remote TPU
@@ -115,13 +123,14 @@ class SphericalHarmonicTransform:
 
         # runtime tables (m, n, lat): P for synthesis, 0.5*w*P for analysis,
         # H and 0.5*w*H/(1-mu^2) for wind synthesis / divergence analysis
-        self._P = dev(P[:, : self.trunc + 2, :])
-        self._Pw = dev(0.5 * w * P[:, : self.trunc + 2, :])
-        self._H = dev(H[:, : self.trunc + 2, :])
+        tdt = self.table_dtype
+        self._P = dev(P[:, : self.trunc + 2, :], tdt)
+        self._Pw = dev(0.5 * w * P[:, : self.trunc + 2, :], tdt)
+        self._H = dev(H[:, : self.trunc + 2, :], tdt)
         self._Hw_over_c2 = dev(
-            0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :])
+            0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :], tdt)
         self._Pw_over_c2 = dev(
-            0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :])
+            0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :], tdt)
 
         n = np.arange(self.trunc + 2)
         m = np.arange(self.trunc + 1)
@@ -293,16 +302,18 @@ _SHT_LEAF_NAMES = ("_P", "_Pw", "_H", "_Hw_over_c2", "_Pw_over_c2",
 
 def _sht_flatten(sht):
     return tuple(getattr(sht, k) for k in _SHT_LEAF_NAMES), \
-        (sht.nlat, sht.trunc, sht.radius, np.dtype(sht.dtype).name)
+        (sht.nlat, sht.trunc, sht.radius, np.dtype(sht.dtype).name,
+         np.dtype(sht.table_dtype).name)
 
 
 def _sht_unflatten(aux, leaves):
-    nlat, trunc, radius, dtn = aux
+    nlat, trunc, radius, dtn, tdtn = aux
     obj = object.__new__(SphericalHarmonicTransform)
     obj.nlat, obj.trunc, obj.radius = nlat, trunc, radius
     obj.nlon = 2 * nlat
     obj.dtype = jnp.float32 if dtn == "float32" else jnp.float64
     obj.cdtype = jnp.complex64 if dtn == "float32" else jnp.complex128
+    obj.table_dtype = jnp.dtype(tdtn)
     obj.spec_shape = (trunc + 1, trunc + 2)
     mu, w = gaussian_grid(nlat)
     obj.mu, obj.quad_w = mu, w

@@ -54,8 +54,14 @@ def main():
 
     sizes = [64, 128] if platform == "cpu" else [64, 128, 256, 512]
 
-    for nlat in sizes:
-        sht = SphericalHarmonicTransform(nlat)
+    # (nlat, table_dtype) rows; bf16 tables only at the flagship T341
+    # size where the cores are table-read bound (VERDICT r3 weak #4)
+    cases = [(n, jnp.float32) for n in sizes]
+    if platform != "cpu":
+        cases.append((512, jnp.bfloat16))
+
+    for nlat, tdt in cases:
+        sht = SphericalHarmonicTransform(nlat, table_dtype=tdt)
         dt = jnp.float32(900.0 * 64 / nlat)
 
         # ICs built under jit and PACKED as (real, imag) float pairs at
@@ -96,9 +102,23 @@ def main():
                     t1 = once(iters)
                     t2 = once(2 * iters)
                     vals.append(max(t2 - t1, 1e-9) / iters * 1e3)
+                ms = min(vals)
+                # table-read roofline: each RK4 step = 4 tendencies; a
+                # tendency's stacked contractions read each needed table
+                # once (see sht.syn_stack) — count bytes from the table
+                # shapes + the per-step FFT/grid traffic (small beside
+                # the tables at T341)
+                tbytes = sht._P.nbytes
+                # stacked contractions per tendency (weather/spherical.py):
+                # bve reads P, H, Pw_over_c2, Hw_over_c2; swe adds Pw
+                n_table_reads = {"bve": 4, "swe": 5}[name] * 4
+                gb = n_table_reads * tbytes / 1e9
                 print(json.dumps({
                     "core": name, "nlat": nlat, "trunc": sht.trunc,
-                    "ms_per_step": round(min(vals), 3),
+                    "tables": str(jnp.dtype(tdt).name),
+                    "ms_per_step": round(ms, 3),
+                    "table_gb_per_step": round(gb, 3),
+                    "table_gbps": round(gb / (ms / 1e3), 1),
                     "platform": platform}), flush=True)
             except Exception as e:  # noqa: BLE001
                 print(json.dumps({"core": name, "nlat": nlat,
