@@ -712,13 +712,22 @@ def _rk4_block_specs(L: int, ny: int, nx: int, by: int, bx: int):
 
 
 def _rk4_vmem_estimate(L: int, by: int, bx: int, xpad: int = 64) -> int:
-    """~4 live padded states (s, stage, acc, next) + cum list + I/O."""
+    """~3 live padded states at the peak (s dies after stage 3; acc and
+    the stage being built overlap it) + cum list + I/O. Calibrated on
+    v5e: (16,512) at L=40 compiles and runs inside the 100 MB scoped cap
+    (BENCH_NOTES r4), which the earlier 4-state model rejected."""
     plane = (by + 8) * (bx + 2 * xpad)
     state = (4 * L + 1) * plane
     io = (4 * L + 1) * (by * bx + 2 * 8 * bx + 2 * by * LANE
                         + 4 * 8 * LANE) * 2  # in + out, double-buffered
-    persist = 4 * state + (L + 30) * plane
+    persist = 3 * state + (L + 30) * plane
     return (persist + 2 * io) * 4
+
+
+def _rk4_vmem_budget(caps) -> int:
+    """The fused kernel's picks are validated against the 100 MB scoped
+    cap directly (calibrated above), not the stage kernel's 92 MB."""
+    return min(int(caps.vmem_physical_bytes * 0.8), 100 << 20)
 
 
 def _rk4_pick_blocks(L: int, ny: int, nx: int,
@@ -744,24 +753,25 @@ def pe_rk4_fused_supported(grid: GridSpec, params: PhysicsParams) -> bool:
 
     return (pe_pallas_supported(grid, params)
             and _rk4_pick_blocks(grid.levels, grid.ny, grid.nx,
-                                 _vmem_budget(detect())) is not None)
+                                 _rk4_vmem_budget(detect())) is not None)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "dt", "coriolis_f", "by", "bx", "interpret"),
+    static_argnames=("grid", "dt", "coriolis_f", "by", "bx", "interpret",
+                     "xpad"),
 )
 def pe_rk4_step_pallas(
     s: PEState, *, grid: GridSpec, dt: float, coriolis_f: float = 0.0,
     by: Optional[int] = None, bx: Optional[int] = None, phi_s=None,
-    interpret: bool = False,
+    interpret: bool = False, xpad: int = 64,
 ) -> PEState:
     """One whole fused RK4 PE step (see _pe_rk4_kernel)."""
     L, ny, nx = grid.levels, grid.ny, grid.nx
     if by is None or bx is None:
         from njw_tpu.platform.device import detect
 
-        picked = _rk4_pick_blocks(L, ny, nx, _vmem_budget(detect()))
+        picked = _rk4_pick_blocks(L, ny, nx, _rk4_vmem_budget(detect()))
         if picked is None:
             raise ValueError("PE fused-RK4 kernel: VMEM budget exceeded")
         by = by if by is not None else picked[0]
@@ -770,7 +780,7 @@ def pe_rk4_step_pallas(
     kern = functools.partial(
         _pe_rk4_kernel, L=L, by=by, bx=bx, dx=float(grid.dx),
         dy=float(grid.dy), f=float(coriolis_f), dt=float(dt),
-        has_phi_s=phi_s is not None,
+        has_phi_s=phi_s is not None, xpad=int(xpad),
     )
     specs3, specs2 = _rk4_block_specs(L, ny, nx, by, bx)
     sh3 = jax.ShapeDtypeStruct((L, ny, nx), jnp.float32)
@@ -779,7 +789,7 @@ def pe_rk4_step_pallas(
                           memory_space=pltpu.VMEM)
     out_c2 = pl.BlockSpec((by, bx), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
-    vmem_limit = min(_rk4_vmem_estimate(L, by, bx) + (8 << 20),
+    vmem_limit = min(_rk4_vmem_estimate(L, by, bx, xpad) + (8 << 20),
                      100 << 20)
     phis_specs: list = []
     phis_ops: list = []
