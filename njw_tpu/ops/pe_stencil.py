@@ -812,6 +812,115 @@ def pe_rk4_step_pallas(
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "nx", "L", "dt", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def pe_rk4_pallas_local(
+    u_p, v_p, T_p, q_p, ps_p, *, ly: int, nx: int, L: int, dt: float,
+    coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+) -> PEState:
+    """Whole-RK4 fused PE step on an 8-row-halo-padded LOCAL block.
+
+    The multi-chip variant of pe_rk4_step_pallas (1-D row decomposition,
+    x whole per shard): the caller exchanges FOUR halo rows per side ONCE
+    per step via lax.ppermute (embedded at slab rows 4:8 / ly+8:ly+12 of
+    8-row slabs), and the entire 4-stage RK4 runs in one kernel pass —
+    one exchange + one kernel per step, vs the stage path's four of each.
+    x wraps locally (bx == nx), so the corner data is just the y slabs'
+    own wrapped lanes.
+    """
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        picked = _rk4_pick_blocks(L, ly, nx, _rk4_vmem_budget(detect()))
+        if picked is None or picked[1] != nx:
+            # require full-width rows (x whole per shard)
+            for cand in (32, 16, 8):
+                if ly % cand == 0 and _rk4_vmem_estimate(
+                        L, cand, nx) <= _rk4_vmem_budget(detect()):
+                    picked = (cand, nx)
+                    break
+            else:
+                raise ValueError(
+                    "PE fused local: no strip height fits VMEM at full "
+                    f"shard width nx={nx}")
+        by = picked[0]
+    if ly % by or nx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
+    r = by // 8
+    nxb = nx // LANE
+
+    kern = functools.partial(
+        _pe_rk4_kernel, L=L, by=by, bx=nx, dx=float(dx), dy=float(dy),
+        f=float(coriolis_f), dt=float(dt), has_phi_s=False,
+    )
+
+    def s3(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, iy=iy, ix=ix: (0, iy(i), ix(i)),
+                            memory_space=pltpu.VMEM)
+
+    def s2(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, iy=iy, ix=ix: (iy(i), ix(i)),
+                            memory_space=pltpu.VMEM)
+
+    zero = lambda i: 0
+    cy_ = lambda i: i
+    ty_ = lambda i: i * r          # top slab of the PADDED array
+    by_ = lambda i: (i + 1) * r + 1
+    lastx = lambda i: nxb - 1
+    c3 = s3((L, by, nx), cy_, zero)
+    t3 = s3((L, 8, nx), ty_, zero)
+    b3 = s3((L, 8, nx), by_, zero)
+    l3 = s3((L, by, LANE), cy_, lastx)
+    r3 = s3((L, by, LANE), cy_, zero)
+    tl3 = s3((L, 8, LANE), ty_, lastx)
+    tr3 = s3((L, 8, LANE), ty_, zero)
+    bl3 = s3((L, 8, LANE), by_, lastx)
+    br3 = s3((L, 8, LANE), by_, zero)
+    c2 = s2((by, nx), cy_, zero)
+    t2 = s2((8, nx), ty_, zero)
+    b2 = s2((8, nx), by_, zero)
+    l2 = s2((by, LANE), cy_, lastx)
+    r2 = s2((by, LANE), cy_, zero)
+    tl2 = s2((8, LANE), ty_, lastx)
+    tr2 = s2((8, LANE), ty_, zero)
+    bl2 = s2((8, LANE), by_, lastx)
+    br2 = s2((8, LANE), by_, zero)
+
+    u_c = jax.lax.slice_in_dim(u_p, 8, 8 + ly, axis=1)
+    v_c = jax.lax.slice_in_dim(v_p, 8, 8 + ly, axis=1)
+    T_c = jax.lax.slice_in_dim(T_p, 8, 8 + ly, axis=1)
+    q_c = jax.lax.slice_in_dim(q_p, 8, 8 + ly, axis=1)
+    ps_c = jax.lax.slice_in_dim(ps_p, 8, 8 + ly, axis=0)
+
+    sh3 = jax.ShapeDtypeStruct((L, ly, nx), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ly, nx), jnp.float32)
+    vmem_limit = min(_rk4_vmem_estimate(L, by, nx) + (8 << 20), 100 << 20)
+    spec3 = [c3, t3, b3, l3, r3, tl3, tr3, bl3, br3]
+    spec2 = [c2, t2, b2, l2, r2, tl2, tr2, bl2, br2]
+
+    def ops3(c, p):
+        return [c, p, p, c, c, p, p, p, p]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=(spec3 * 4 + spec2),
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(sh3, sh3, sh3, sh3, sh2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        *ops3(u_c, u_p), *ops3(v_c, v_p), *ops3(T_c, T_p),
+        *ops3(q_c, q_p), *ops3(ps_c, ps_p),
+    )
+    return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
+
+
 def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
                                dt: float, interpret: bool = False,
                                phi_s=None):

@@ -659,6 +659,67 @@ def sharded_pe_step_pallas(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def sharded_pe_step_pallas_fused(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    n_steps: int = 1, interpret: bool = False,
+):
+    """Multi-chip PE with the WHOLE-RK4 fused kernel per shard (r4):
+    ONE 4-row halo exchange + ONE kernel pass per step — vs the stage
+    path's four of each. Same volume over ICI, 4x fewer collective
+    latencies; per-chip, the fused kernel's single HBM round-trip
+    (BENCH_NOTES r4: config 5 at 57.6 ms/step single-chip).
+    1-D row decomposition, x whole per shard.
+    """
+    import numbers
+
+    from njw_tpu.ops.pe_stencil import pe_rk4_pallas_local
+    from njw_tpu.weather.primitive import PEState
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("pallas sharded PE requires periodic BC")
+    if not isinstance(params.coriolis_f, numbers.Number):
+        raise NotImplementedError("constant Coriolis f only")
+    n_dev = int(mesh.devices.size)
+    if grid.ny % n_dev:
+        raise ValueError(f"ny={grid.ny} not divisible by {n_dev} devices")
+    ly = grid.ny // n_dev
+    if ly % 8 or grid.nx % 128:
+        raise ValueError("per-shard rows must be a multiple of 8 and "
+                         "nx a multiple of 128")
+    L = grid.levels
+    dt = float(dt)
+    f = float(params.coriolis_f)
+
+    def pad8(a):
+        """Exchange FOUR halo rows each way, once per step; embed them at
+        slab rows 4:8 / ly+8:ly+12 (the fused kernel reads t[:, -4:] and
+        b[:, :4]; the outer 4 rows are zero filler it never reads)."""
+        top = _ring_shift(a[..., -4:, :], "y", +1)
+        bot = _ring_shift(a[..., :4, :], "y", -1)
+        filler = jnp.zeros(a.shape[:-2] + (4, a.shape[-1]), a.dtype)
+        return jnp.concatenate(
+            [filler, top, a, bot, filler], axis=-2)
+
+    def one_step(s: PEState) -> PEState:
+        return pe_rk4_pallas_local(
+            pad8(s.u), pad8(s.v), pad8(s.T), pad8(s.q), pad8(s.ps),
+            ly=ly, nx=grid.nx, L=L, dt=dt, coriolis_f=f,
+            dx=float(grid.dx), dy=float(grid.dy), interpret=interpret)
+
+    def local_steps(state: PEState) -> PEState:
+        def body(s, _):
+            return one_step(s), None
+
+        state, _ = lax.scan(body, state, None, length=n_steps)
+        return state
+
+    p3 = P(None, "y", None)
+    spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", None))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
 def sharded_swe_step_pallas(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     n_steps: int = 1, interpret: bool = False,

@@ -46,7 +46,12 @@ def main():
              + rng.normal(0, 0.5, (n, n)))
         return jnp.asarray(d, jnp.float32)
 
-    sizes = [512, 2048] if platform == "tpu" else [512]
+    import os as _os
+    sizes_env = _os.environ.get("NJW_GEO_SIZES")
+    if sizes_env:
+        sizes = [int(s) for s in sizes_env.split(",")]
+    else:
+        sizes = [512, 2048] if platform == "tpu" else [512]
 
     for n in sizes:
         dem = dem_for(n)
