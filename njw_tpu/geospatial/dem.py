@@ -267,27 +267,29 @@ def flow_direction(dem):
 
 @partial(jax.jit, static_argnames=("n_iterations", "method"))
 def flow_accumulation(dem, n_iterations: int = 0,
-                      method: str = "doubling"):
+                      method: str = "push"):
     """Cells drained through each cell (including itself).
 
     The D8 directions form a forest (each cell has at most one outgoing
     pointer), so accumulation = sum_k (F^T)^k w with F the pointer matrix.
 
-    method='doubling' (default): F^T is nilpotent, so the series is
-    computed EXACTLY by pointer doubling: ceil(log2(n)) rounds of
-    (scatter-add along ptr; ptr <- ptr[ptr]) — ~18 rounds for a 512^2
-    grid, but each round is a full-grid gather + scatter (the measured
-    TPU anti-pattern; it lands at ~1x vs CPU, BENCH_NOTES).
+    method='push' (default): gather-free Jacobi mass push — every cell's
+    moving mass advances ONE hop per round via 8 masked zero-fill shifts
+    (pure VPU ops, stencil-shaped), while-looped until no mass moves.
+    Round count = longest drainage path; on TPU each round is ~100x
+    cheaper than a gather/scatter round, so it measures 0.135 ms at 512^2
+    vs the doubling path's 24.5 (BENCH_NOTES r4) — 54x the best CPU
+    number, finally clearing the reference's 10-100x target for this op.
 
-    method='push': gather-free Jacobi mass push — every cell's moving
-    mass advances ONE hop per round via 8 masked zero-fill shifts (pure
-    VPU ops, stencil-shaped), while-looped until no mass moves. Exact
-    same answer; round count = longest drainage path instead of log2(n),
-    so it wins when paths are short relative to the gather/scatter cost
-    (see BENCH_NOTES r4 measurement).
+    method='doubling': F^T is nilpotent, so the series is computed
+    EXACTLY by pointer doubling: ceil(log2(path)) rounds of (scatter-add
+    along ptr; ptr <- ptr[ptr]). Fewer rounds, but each is a full-grid
+    gather + scatter (the measured TPU anti-pattern); it is the better
+    formulation on CPU (7.2 vs 24.5 ms at 512^2) and for adversarial
+    terrain whose longest drainage path exceeds ~1000 cells.
 
-    n_iterations (kept for API compatibility) optionally caps the
-    resolvable path length for either method."""
+    Both methods are bit-identical (tests pin it). n_iterations (kept
+    for API compatibility) optionally caps the resolvable path length."""
     if method == "push":
         return _flow_accumulation_push(dem, n_iterations)
     z = jnp.asarray(dem, jnp.float32)
