@@ -28,7 +28,8 @@ from dataclasses import replace as dataclasses_replace
 GRID = 2048
 STEPS = 5000  # long chunks amortize this backend's ~43 ms/invocation
 DT = 0.001  # CFL-safe at 2048^2 for the weak vortex used here
-PARITY_STEPS = 12  # cheap on-chip kernel-vs-XLA gate before timing
+PARITY_STEPS = 12   # cheap on-chip kernel-vs-XLA gate before timing
+PARITY_GRID = 512   # gate grid: same kernel path, much cheaper compiles
 
 
 def main() -> None:
@@ -51,24 +52,30 @@ def main() -> None:
     # 5x5000-step measurement horizon (t=25)
     sim = Simulation.from_config(cfg, "vortex", strength=1.0)
 
-    # Correctness gate (VERDICT r3 #6): the timed path vs the plain-XLA
-    # integrator, same IC, a few steps on the SAME device — so every
-    # round's perf artifact is also a correctness artifact. On-TPU kernel
-    # drift is <=2e-6/step (BENCH_NOTES), so 1e-3 catches any real
-    # regression with huge margin. The reference's benchmark never checks
-    # its results at all (ref: benchmark_suite.py:565-584).
+    # Correctness gate (VERDICT r3 #6): the fused-kernel path vs the
+    # plain-XLA integrator, same IC, a few steps on the SAME device — so
+    # every round's perf artifact is also a correctness artifact. Run at
+    # 512^2 (same kernel code path, different block pick) to keep the two
+    # extra remote compiles cheap; on-TPU kernel drift is <=2e-6/step
+    # (BENCH_NOTES), so 1e-3 catches any real regression with huge
+    # margin. The reference's benchmark never checks its results at all
+    # (ref: benchmark_suite.py:565-584).
     parity_ok = True
     if sim.stepper.name != "rk4":  # a fused kernel path was selected
+        pcfg = dataclasses_replace(cfg, grid_width=PARITY_GRID,
+                                   grid_height=PARITY_GRID)
+        ker = Simulation.from_config(pcfg, "vortex", strength=1.0)
         ref = Simulation.from_config(
-            dataclasses_replace(cfg, backend="xla"), "vortex", strength=1.0
+            dataclasses_replace(pcfg, backend="xla"), "vortex", strength=1.0
         )
-        sim.step(PARITY_STEPS)
+        assert ker.stepper.name != "rk4", "parity gate lost the kernel path"
+        ker.step(PARITY_STEPS)
         ref.step(PARITY_STEPS)
-        for a, b in ((sim.state.h, ref.state.h), (sim.state.u, ref.state.u),
-                     (sim.state.v, ref.state.v)):
+        for a, b in ((ker.state.h, ref.state.h), (ker.state.u, ref.state.u),
+                     (ker.state.v, ref.state.v)):
             parity_ok &= bool(np.allclose(np.asarray(a), np.asarray(b),
                                           rtol=1e-3, atol=1e-3))
-        del ref
+        del ker, ref
 
     def sync():
         _ = np.asarray(sim.state.h[:8, :8])  # D2H forces real completion

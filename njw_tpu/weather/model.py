@@ -3,8 +3,9 @@
 TPU-native replacement for the reference's ``WeatherSimulation`` time loop
 (ref: src/weather-sim/cpp/src/weather_simulation.cpp:68-158): instead of a
 host loop calling per-step kernels with 4 staging grids and explicit swaps,
-the whole inter-output interval is a single ``lax.scan`` under ``jit`` with
-donated state buffers — state never leaves the device between outputs.
+the whole inter-output interval is a single ``lax.scan`` under ``jit`` —
+state never leaves the device between outputs. Buffer donation is OFF by
+default: measured 19% slower scan bodies on v5e (BENCH_NOTES r4).
 
 Also carries the performance-metrics contract of the reference
 (ref: weather_sim.hpp:196-223 PerformanceMetrics; python wrapper metrics
@@ -137,6 +138,7 @@ class Simulation:
         grid: Optional[GridSpec] = None,
         stepper_factory: Optional[Callable] = None,
         output_fn: Optional[Callable[[Any], dict[str, jnp.ndarray]]] = None,
+        donate: bool = False,
     ):
         self.grid = grid
         self.dt = float(dt)
@@ -171,8 +173,16 @@ class Simulation:
 
         # n_steps static -> one executable per distinct chunk length
         # (typically just output_interval and a remainder).
+        #
+        # NO buffer donation: measured on v5e (BENCH_NOTES r4), donating
+        # the carry makes the compiled scan BODY ~19% slower (0.382 vs
+        # 0.320 ms/step, SWE 2048^2) — the input/output aliasing
+        # constraint pessimizes the loop, and state buffers are far
+        # smaller than HBM. Opt back in (donate=True) only for states
+        # near the HBM limit.
         self._run_chunk = jax.jit(
-            run_chunk, static_argnums=(2,), donate_argnums=(0, 1)
+            run_chunk, static_argnums=(2,),
+            donate_argnums=(0, 1) if donate else (),
         )
 
     @classmethod
