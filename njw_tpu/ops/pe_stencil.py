@@ -143,22 +143,25 @@ def _pe_stage_kernel(
     dps_over_ps = dps * inv_ps
     zero = jnp.zeros_like(dps)
 
-    def sdot_half(kk):
-        """sigma-dot at interface kk (0..L); 0 at top/bottom."""
+    def sdot_scaled(kk):
+        """sigma-dot at interface kk (0..L) PRE-SCALED by inv2dsig = L/2
+        (0 at top/bottom): sdot*inv2dsig = -0.5*(kk*dps_over_ps +
+        cum[kk-1]*inv_ps). Folding the scale removes the four per-field
+        vadv mults and turns the omega 1/sig divide into a constant
+        (r4 strength reduction, BENCH_NOTES)."""
         if kk == 0 or kk == L:
             return zero
-        sig_h = kk / L
-        return (-sig_h * dps - cum[kk - 1] * dsig) * inv_ps
+        return -0.5 * (kk * dps_over_ps + cum[kk - 1] * inv_ps)
 
     sig = [(kk + 0.5) / L for kk in range(L)]
-    inv2dsig = 0.5 / dsig
 
     def crop(a):
         return a[1:1 + by, LANE:LANE + bx]
 
     # bottom-up tendency pass with carried geopotential phi and carried
-    # lower-interface sigma-dot (identical arithmetic to the XLA path,
-    # hydrostatic_geopotential / pe_tendencies_from_shifts)
+    # lower-interface sigma-dot (same arithmetic as the XLA path
+    # hydrostatic_geopotential / pe_tendencies_from_shifts, with the
+    # sigma-dot scale folding above)
     phi = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]   # phi at level L-1
     if has_phi_s:
         # terrain: surface geopotential enters the hydrostatic integral's
@@ -167,7 +170,7 @@ def _pe_stage_kernel(
         phi = phi + pad2(*phis_refs)
     sd_dn = zero                                       # interface L
     for kk in range(L - 1, -1, -1):
-        sd_up = sdot_half(kk)
+        sd_up = sdot_scaled(kk)
         uk, vk, Tk, qk = u[kk], v[kk], T[kk], q[kk]
         u_x, u_y = ddx(uk), ddy(uk)
         v_x, v_y = ddx(vk), ddy(vk)
@@ -183,10 +186,10 @@ def _pe_stage_kernel(
         T_dn = (T[kk + 1] - T[kk]) if kk < L - 1 else zero
         q_up = (q[kk] - q[kk - 1]) if kk > 0 else zero
         q_dn = (q[kk + 1] - q[kk]) if kk < L - 1 else zero
-        vadv_u = (sd_dn * u_dn + sd_up * u_up) * inv2dsig
-        vadv_v = (sd_dn * v_dn + sd_up * v_up) * inv2dsig
-        vadv_T = (sd_dn * T_dn + sd_up * T_up) * inv2dsig
-        vadv_q = (sd_dn * q_dn + sd_up * q_up) * inv2dsig
+        vadv_u = sd_dn * u_dn + sd_up * u_up
+        vadv_v = sd_dn * v_dn + sd_up * v_up
+        vadv_T = sd_dn * T_dn + sd_up * T_up
+        vadv_q = sd_dn * q_dn + sd_up * q_up
 
         du = (-uk * u_x - vk * u_y - vadv_u + f * vk
               - phi_x - R_DRY * Tk * lnps_x)
@@ -194,8 +197,8 @@ def _pe_stage_kernel(
               - phi_y - R_DRY * Tk * lnps_y)
 
         dlnps_adv = dps_over_ps + uk * lnps_x + vk * lnps_y
-        sdot_full = 0.5 * (sd_up + sd_dn)
-        omega_over_p = sdot_full / sig[kk] + dlnps_adv
+        # sdot_full/sig = (sd_up+sd_dn)*dsig/sig; dsig/sig[kk] = 1/(kk+0.5)
+        omega_over_p = (sd_up + sd_dn) * (1.0 / (kk + 0.5)) + dlnps_adv
         dT = (-uk * T_x - vk * T_y - vadv_T
               + KAPPA * Tk * omega_over_p)
         dq = -uk * q_x - vk * q_y - vadv_q
@@ -524,14 +527,17 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
     dps_over_ps = dps * inv_ps
     zero = jnp.zeros_like(dps)
 
-    def sdot_half(kk):
+    def sdot_scaled(kk):
+        """sigma-dot at interface kk PRE-SCALED by inv2dsig = L/2 (0 at
+        top/bottom). Algebra: sdot*inv2dsig = -0.5*(kk*dps_over_ps +
+        cum[kk-1]*inv_ps) — folding the scale here removes the four
+        per-field vadv mults AND turns the omega 1/sig divide into a
+        static constant (r4 strength reduction, measured in BENCH_NOTES)."""
         if kk == 0 or kk == L:
             return zero
-        sig_h = kk / L
-        return (-sig_h * dps - cum[kk - 1] * dsig) * inv_ps
+        return -0.5 * (kk * dps_over_ps + cum[kk - 1] * inv_ps)
 
     sig = [(kk + 0.5) / L for kk in range(L)]
-    inv2dsig = 0.5 / dsig
 
     phi = (R_DRY * (-np.log(sig[L - 1]))) * T[L - 1]
     if phi_s is not None:
@@ -542,7 +548,7 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
     dT_l = [None] * L
     dq_l = [None] * L
     for kk in range(L - 1, -1, -1):
-        sd_up = sdot_half(kk)
+        sd_up = sdot_scaled(kk)
         uk, vk, Tk, qk = u[kk], v[kk], T[kk], q[kk]
         u_x, u_y = ddx(uk), ddy(uk)
         v_x, v_y = ddx(vk), ddy(vk)
@@ -558,10 +564,10 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
         T_dn = (T[kk + 1] - T[kk]) if kk < L - 1 else zero
         q_up = (q[kk] - q[kk - 1]) if kk > 0 else zero
         q_dn = (q[kk + 1] - q[kk]) if kk < L - 1 else zero
-        vadv_u = (sd_dn * u_dn + sd_up * u_up) * inv2dsig
-        vadv_v = (sd_dn * v_dn + sd_up * v_up) * inv2dsig
-        vadv_T = (sd_dn * T_dn + sd_up * T_up) * inv2dsig
-        vadv_q = (sd_dn * q_dn + sd_up * q_up) * inv2dsig
+        vadv_u = sd_dn * u_dn + sd_up * u_up
+        vadv_v = sd_dn * v_dn + sd_up * v_up
+        vadv_T = sd_dn * T_dn + sd_up * T_up
+        vadv_q = sd_dn * q_dn + sd_up * q_up
 
         du_l[kk] = (-uk * u_x - vk * u_y - vadv_u + f * vk
                     - phi_x - R_DRY * Tk * lnps_x)
@@ -569,8 +575,9 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
                     - phi_y - R_DRY * Tk * lnps_y)
 
         dlnps_adv = dps_over_ps + uk * lnps_x + vk * lnps_y
-        sdot_full = 0.5 * (sd_up + sd_dn)
-        omega_over_p = sdot_full / sig[kk] + dlnps_adv
+        # sdot_full/sig = (sd_up+sd_dn)*dsig/sig (scaled interfaces);
+        # dsig/sig[kk] = 1/(kk+0.5) — the divide becomes a constant mult
+        omega_over_p = (sd_up + sd_dn) * (1.0 / (kk + 0.5)) + dlnps_adv
         dT_l[kk] = (-uk * T_x - vk * T_y - vadv_T
                     + KAPPA * Tk * omega_over_p)
         dq_l[kk] = -uk * q_x - vk * q_y - vadv_q
