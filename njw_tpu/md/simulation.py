@@ -33,7 +33,8 @@ class MDSimulation:
                  integrator: str = "velocity_verlet", cutoff: float = 2.5,
                  thermostat: Optional[str] = None, T0: float = 1.0,
                  tau: float = 0.5, collision_rate: float = 0.1,
-                 seed: int = 0, force_method: str = "auto"):
+                 seed: int = 0, force_method: str = "auto",
+                 donate: bool = True):
         if lj is None:
             lj = LJParams(epsilon=jnp.asarray([1.0], jnp.float32),
                           sigma=jnp.asarray([1.0], jnp.float32))
@@ -147,8 +148,12 @@ class MDSimulation:
             carry, _ = jax.lax.scan(body, carry, None, length=n)
             return carry
 
+        # MD keeps donation ON: measured 6% FASTER with it (0.448 vs
+        # 0.479 ms/step, LJ N=4096 on v5e) — unlike the weather (-19%)
+        # and n-body (-31%) scans; the donation effect is per-workload
+        # (BENCH_NOTES r4, probe_donation_nbody_md.py)
         self._run_chunk = jax.jit(run_chunk, static_argnums=(1,),
-                                  donate_argnums=(0,))
+                                  donate_argnums=(0,) if donate else ())
 
     def step(self, n: int = 1) -> MDState:
         t0 = time.perf_counter()

@@ -24,7 +24,7 @@ class NBodySimulation:
     def __init__(self, system: NBodySystem, *, integrator: str = "leapfrog",
                  dt: float = 0.01, acc_chunk: int = 1024,
                  force_method: str = "auto", pm_box: float = 0.0,
-                 pm_mesh: int = 64):
+                 pm_mesh: int = 64, donate: bool = False):
         self.system = system
         self.dt = float(dt)
         self.integrator_name = integrator
@@ -49,8 +49,12 @@ class NBodySimulation:
             (carry, s), _ = jax.lax.scan(body, (carry, s), None, length=n)
             return carry, s
 
+        # donation off by default: measured 31% slower compiled scan
+        # body WITH donation (0.407 vs 0.311 ms/step, direct N=8192 on
+        # v5e — BENCH_NOTES r4, probe_donation_nbody_md.py); opt in only
+        # for particle states near HBM capacity
         self._run_chunk = jax.jit(run_chunk, static_argnums=(2,),
-                                  donate_argnums=(0, 1))
+                                  donate_argnums=(0, 1) if donate else ())
 
     def step(self, n: int = 1) -> NBodySystem:
         t0 = time.perf_counter()

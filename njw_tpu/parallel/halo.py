@@ -149,6 +149,7 @@ def _stitch(top, left, interior, right, bot):
 def sharded_swe_step(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     method: str = "rk4", n_steps: int = 1, overlap: bool = True,
+    donate: bool = False,
 ):
     """Build a jitted multi-chip SWE step: shard_map over the ('y','x')
     mesh, halo exchange per tendency evaluation (4x/step for RK4 — the
@@ -269,12 +270,13 @@ def sharded_swe_step(
         local_steps, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_pe_step(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     method: str = "rk4", n_steps: int = 1, overlap: bool = True,
+    donate: bool = False,
 ):
     """Multi-chip primitive-equations step (BASELINE config 4/5): the
     level dimension stays local (vertical integrals are cheap column
@@ -365,7 +367,7 @@ def sharded_pe_step(
         local_steps, mesh=mesh, in_specs=(spec,), out_specs=spec,
         check_vma=False,
     )
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +420,7 @@ def _arakawa_padded(p: jnp.ndarray, z: jnp.ndarray, dx: float, dy: float):
 
 def sharded_barotropic_step(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    method: str = "rk4", n_steps: int = 1,
+    method: str = "rk4", n_steps: int = 1, donate: bool = False,
 ):
     """Multi-chip barotropic vorticity step over a 1-D ('y',) row
     decomposition: per-stage distributed transpose-FFT Poisson inversion +
@@ -487,7 +489,7 @@ def sharded_barotropic_step(
     spec = BS(zeta=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def _arakawa_padded_2d(p: jnp.ndarray, z: jnp.ndarray, dx: float,
@@ -520,7 +522,7 @@ def _arakawa_padded_2d(p: jnp.ndarray, z: jnp.ndarray, dx: float,
 
 def sharded_barotropic_step_2d(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    method: str = "rk4", n_steps: int = 1,
+    method: str = "rk4", n_steps: int = 1, donate: bool = False,
 ):
     """Multi-chip barotropic vorticity step over a 2-D ('y','x') mesh:
     per-stage PENCIL transpose-FFT Poisson inversion (parallel.fft
@@ -582,12 +584,12 @@ def sharded_barotropic_step_2d(
     spec = BarotropicState(zeta=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_pe_step_pallas(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    n_steps: int = 1, interpret: bool = False,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
 ):
     """Multi-chip primitive equations with the FUSED PE STAGE KERNEL per
     shard (the BASELINE config-5 fast path): 1-D row decomposition; each
@@ -656,12 +658,12 @@ def sharded_pe_step_pallas(
     spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_pe_step_pallas_fused(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    n_steps: int = 1, interpret: bool = False,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
 ):
     """Multi-chip PE with the WHOLE-RK4 fused kernel per shard (r4):
     ONE 4-row halo exchange + ONE kernel pass per step — vs the stage
@@ -717,12 +719,12 @@ def sharded_pe_step_pallas_fused(
     spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_swe_step_pallas(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    n_steps: int = 1, interpret: bool = False,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
 ):
     """Multi-chip SWE RK4 with the FUSED PALLAS KERNEL per shard: each
     step exchanges 8-row halos over the 'y' ring (one ppermute pair per
@@ -776,12 +778,12 @@ def sharded_swe_step_pallas(
     spec = WeatherState(u=P("y", None), v=P("y", None), h=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_swe_step_pallas_2d(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    n_steps: int = 1, interpret: bool = False,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
 ):
     """Multi-chip SWE RK4 with the fused Pallas kernel over a 2-D
     ('y','x') mesh (BASELINE config-5 decomposition): per step, each
@@ -831,12 +833,12 @@ def sharded_swe_step_pallas_2d(
     spec = WeatherState(u=P("y", "x"), v=P("y", "x"), h=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def sharded_pe_step_pallas_2d(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
-    n_steps: int = 1, interpret: bool = False,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
 ):
     """Multi-chip PE with the fused stage kernel over a ('y','x') mesh
     (the BASELINE config-5 decomposition): per RK stage each shard
@@ -903,4 +905,4 @@ def sharded_pe_step_pallas_2d(
     spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

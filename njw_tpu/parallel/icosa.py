@@ -101,7 +101,8 @@ def unshard_state(state: IcosaSWEState) -> IcosaSWEState:
 
 def sharded_icosa_swe_step(mesh: Mesh, *, g: float = 9.80616,
                            omega: float, nu: float = 0.0,
-                           n_steps: int = 1, axis: str = "p"):
+                           n_steps: int = 1, axis: str = "p",
+                           donate: bool = False):
     """Build a jitted multi-chip icosahedral SWE step over a 5-device
     mesh axis (one rhombus pair per device). Call with the outputs of
     shard_icosa: step(state_pairs, ops_pairs, dt) -> state_pairs."""
@@ -147,4 +148,4 @@ def sharded_icosa_swe_step(mesh: Mesh, *, g: float = 9.80616,
     step = jax.shard_map(local_steps, mesh=mesh,
                          in_specs=(st_spec, ops_spec, P()),
                          out_specs=st_spec, check_vma=False)
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -116,7 +116,7 @@ def _rk4(tend, s, dt):
 def sharded_spherical_step(sht: SphericalHarmonicTransform, mesh: Mesh,
                            *, core: str = "swe", omega: float,
                            nu4: float = 0.0, n_steps: int = 1,
-                           axis: str = "lat"):
+                           axis: str = "lat", donate: bool = False):
     """Build a jitted multi-chip spectral step: shard_map over a 1-D
     latitude mesh; packed (real, imag) replicated spectral state in/out.
 
@@ -149,7 +149,7 @@ def sharded_spherical_step(sht: SphericalHarmonicTransform, mesh: Mesh,
         in_specs=(state_spec, sht_specs_tree, P()),
         out_specs=state_spec, check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def pack_state_spec_probe(sht, core: str):
