@@ -172,6 +172,25 @@ class TestSimulationDriver:
         assert m.steps_per_second > 0
         assert m.grid_points_per_second > 0
 
+    def test_donate_flag_equivalent(self):
+        """donate=True (the HBM-limited opt-in) is numerically identical
+        to the measured-faster no-donation default (BENCH_NOTES r4
+        donation table: donation pessimizes the compiled scan body 19%
+        on v5e, so it is off unless opted in)."""
+        grid = GridSpec(nx=32, ny=32)
+        params = PhysicsParams(coriolis_f=1e-4)
+        tendency = make_tendency_fn("shallow_water", grid, params)
+        full0 = make_initial_state("vortex", grid)
+        s0 = WeatherState(u=full0.u, v=full0.v, h=full0.h)
+        outs = []
+        for donate in (False, True):
+            sim = Simulation(jax.tree.map(jnp.copy, s0), tendency,
+                             dt=0.01, method="rk4", grid=grid,
+                             donate=donate)
+            sim.step(20)
+            outs.append(np.asarray(sim.state.h))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
 
 class TestReflectiveOutflowBC:
     """ref declares BoundaryCondition::{Reflective,Outflow}
