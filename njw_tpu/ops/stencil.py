@@ -371,6 +371,62 @@ def swe_rk4_step_pallas_local(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("ly", "nx", "dt", "gravity", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def swe_rk4_step_pallas_carry(
+    u_p, v_p, h_p, *, ly: int, nx: int, by: int, dt: float,
+    gravity: float = 9.81, coriolis_f: float = 0.0, dx: float = 1.0,
+    dy: float = 1.0, interpret: bool = False,
+):
+    """Fused RK4 step on a PERSISTENT by-row-padded local block.
+
+    Carry-form variant of :func:`swe_rk4_step_pallas_local` for sharded
+    scan loops: the (ly + 2*by, nx) padded block IS the scan carry, the
+    kernel writes a new padded block (interior strips only — the halo
+    rows come back garbage and the next iteration's ppermute refresh
+    rewrites the 4 rows per side the kernel actually reads; slab rows it
+    never reads may hold garbage, see swe_rk4_kernel pad()). This removes
+    the full-state concat copy the local variant pays per step — measured
+    0.40 vs 0.32 ms/step at 2048^2 on v5e (BENCH_NOTES r4).
+
+    Layout: interior rows [by, by+ly); the kernel reads, per strip i,
+    center rows [by+i*by, by+(i+1)*by) plus the adjacent 8-row slabs —
+    for the first/last strip those slabs overlap the halo band where only
+    rows [by-4, by) and [by+ly, by+ly+4) are consumed. by must divide ly.
+    """
+    if ly % by or nx % 128 or by % 8:
+        raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
+    r = by // 8
+
+    kern = functools.partial(
+        swe_rk4_kernel, dt=float(dt), gravity=float(gravity),
+        coriolis_f=float(coriolis_f), dx=float(dx), dy=float(dy), by=by,
+    )
+    center = pl.BlockSpec((by, nx), lambda i: (i + 1, 0),
+                          memory_space=pltpu.VMEM)
+    top = pl.BlockSpec((8, nx), lambda i: ((i + 1) * r - 1, 0),
+                       memory_space=pltpu.VMEM)
+    bot = pl.BlockSpec((8, nx), lambda i: ((i + 1) * r + r, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((by, nx), lambda i: (i + 1, 0),
+                       memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((ly + 2 * by, nx), jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=[center, top, bot] * 3,
+        out_specs=(out, out, out),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_cap(by, nx)),
+        interpret=interpret,
+    )(u_p, u_p, u_p, v_p, v_p, v_p, h_p, h_p, h_p)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("ly", "lx", "dt", "gravity", "coriolis_f", "dx", "dy",
                      "by", "interpret"),
 )

@@ -741,7 +741,7 @@ def sharded_swe_step_pallas(
     """
     import numbers
 
-    from njw_tpu.ops.stencil import swe_rk4_step_pallas_local
+    from njw_tpu.ops.stencil import _pick_by, swe_rk4_step_pallas_carry
 
     if grid.bc != "periodic":
         raise NotImplementedError("pallas sharded step requires periodic BC")
@@ -756,24 +756,42 @@ def sharded_swe_step_pallas(
     ly = grid.ny // n_dev
     if ly % 8:
         raise ValueError("per-shard rows must be a multiple of 8")
+    nx = grid.nx
 
-    pad8 = _pad4_filler
+    from njw_tpu.platform.device import detect
 
-    def one_step(s: WeatherState) -> WeatherState:
-        u, v, h = swe_rk4_step_pallas_local(
-            pad8(s.u), pad8(s.v), pad8(s.h), ly=ly, nx=grid.nx,
-            dt=float(dt), gravity=float(params.gravity),
-            coriolis_f=float(params.coriolis_f), dx=float(grid.dx),
-            dy=float(grid.dy), interpret=interpret,
-        )
-        return WeatherState(u=u, v=v, h=h)
+    by = _pick_by(ly, nx, detect().vmem_bytes)
+
+    # Persistent by-row-padded carry (r4): the padded block is the scan
+    # carry; each step ppermutes only the 4 needed rows per side and
+    # writes them into the halo band with static-offset updates, then the
+    # carry-form kernel produces the next padded block directly. This
+    # removes the per-step full-state concat copy of the old path
+    # (measured 0.40 -> see BENCH_NOTES r4 sharded table).
+    def refresh(P):
+        top4 = _ring_shift(P[by + ly - 4:by + ly, :], "y", +1)
+        bot4 = _ring_shift(P[by:by + 4, :], "y", -1)
+        P = lax.dynamic_update_slice(P, top4, (by - 4, 0))
+        return lax.dynamic_update_slice(P, bot4, (by + ly, 0))
+
+    def to_carry(f):
+        zpad = jnp.zeros((by,) + f.shape[1:], f.dtype)
+        return jnp.concatenate([zpad, f, zpad], axis=0)
 
     def local_steps(state: WeatherState) -> WeatherState:
-        def body(s, _):
-            return one_step(s), None
+        def body(c, _):
+            pu, pv, ph = (refresh(p) for p in c)
+            return swe_rk4_step_pallas_carry(
+                pu, pv, ph, ly=ly, nx=nx, by=by, dt=float(dt),
+                gravity=float(params.gravity),
+                coriolis_f=float(params.coriolis_f), dx=float(grid.dx),
+                dy=float(grid.dy), interpret=interpret,
+            ), None
 
-        state, _ = lax.scan(body, state, None, length=n_steps)
-        return state
+        carry = (to_carry(state.u), to_carry(state.v), to_carry(state.h))
+        (pu, pv, ph), _ = lax.scan(body, carry, None, length=n_steps)
+        return WeatherState(u=pu[by:by + ly], v=pv[by:by + ly],
+                            h=ph[by:by + ly])
 
     spec = WeatherState(u=P("y", None), v=P("y", None), h=P("y", None))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
