@@ -928,6 +928,110 @@ def pe_rk4_pallas_local(
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
 
+def pe_rk4_local_pick_by(L: int, ly: int, nx: int) -> int:
+    """Strip height for the full-shard-width local/carry fused kernels."""
+    from njw_tpu.platform.device import detect
+
+    budget = _rk4_vmem_budget(detect())
+    picked = _rk4_pick_blocks(L, ly, nx, budget)
+    if picked is not None and picked[1] == nx:
+        return picked[0]
+    for cand in (32, 16, 8):
+        if ly % cand == 0 and _rk4_vmem_estimate(L, cand, nx) <= budget:
+            return cand
+    raise ValueError("PE fused local: no strip height fits VMEM at full "
+                     f"shard width nx={nx}")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "nx", "L", "by", "dt", "coriolis_f", "dx", "dy",
+                     "interpret"),
+)
+def pe_rk4_pallas_carry(
+    u_p, v_p, T_p, q_p, ps_p, *, ly: int, nx: int, L: int, by: int,
+    dt: float, coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    interpret: bool = False,
+) -> tuple:
+    """Whole-RK4 fused PE step on a PERSISTENT by-row-padded local block.
+
+    Carry-form variant of :func:`pe_rk4_pallas_local` (see
+    ops.stencil.swe_rk4_step_pallas_carry for the pattern): 3-D fields
+    are (L, ly + 2*by, nx), ps is (ly + 2*by, nx); interior rows
+    [by, by+ly). The caller ppermutes 4 rows per side into
+    [by-4, by) / [by+ly, by+ly+4) each step; the kernel writes a new
+    padded block (interior strips only — halo rows return garbage that
+    is either refreshed or never consumed: the kernel slices t[-4:] /
+    b[:4] out of the 8-row slabs before any arithmetic). Removes the
+    per-step full-state concat of the local variant — at config-5 shard
+    sizes that concat read+wrote the entire (4L+1)-plane state.
+
+    Returns the padded (u, v, T, q, ps) for the next carry.
+    """
+    if ly % by or nx % 128 or by % 8:
+        raise ValueError(f"ly={ly} % by={by} != 0 or nx % 128 != 0")
+    r = by // 8
+    nxb = nx // LANE
+
+    kern = functools.partial(
+        _pe_rk4_kernel, L=L, by=by, bx=nx, dx=float(dx), dy=float(dy),
+        f=float(coriolis_f), dt=float(dt), has_phi_s=False,
+    )
+
+    def s3(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, iy=iy, ix=ix: (0, iy(i), ix(i)),
+                            memory_space=pltpu.VMEM)
+
+    def s2(sh, iy, ix):
+        return pl.BlockSpec(sh, lambda i, iy=iy, ix=ix: (iy(i), ix(i)),
+                            memory_space=pltpu.VMEM)
+
+    zero = lambda i: 0
+    cy_ = lambda i: i + 1                 # by units
+    ty_ = lambda i: (i + 1) * r - 1       # 8-row units
+    by_ = lambda i: (i + 1) * r + r
+    lastx = lambda i: nxb - 1
+    c3 = s3((L, by, nx), cy_, zero)
+    t3 = s3((L, 8, nx), ty_, zero)
+    b3 = s3((L, 8, nx), by_, zero)
+    l3 = s3((L, by, LANE), cy_, lastx)
+    r3 = s3((L, by, LANE), cy_, zero)
+    tl3 = s3((L, 8, LANE), ty_, lastx)
+    tr3 = s3((L, 8, LANE), ty_, zero)
+    bl3 = s3((L, 8, LANE), by_, lastx)
+    br3 = s3((L, 8, LANE), by_, zero)
+    c2 = s2((by, nx), cy_, zero)
+    t2 = s2((8, nx), ty_, zero)
+    b2 = s2((8, nx), by_, zero)
+    l2 = s2((by, LANE), cy_, lastx)
+    r2 = s2((by, LANE), cy_, zero)
+    tl2 = s2((8, LANE), ty_, lastx)
+    tr2 = s2((8, LANE), ty_, zero)
+    bl2 = s2((8, LANE), by_, lastx)
+    br2 = s2((8, LANE), by_, zero)
+
+    sh3 = jax.ShapeDtypeStruct((L, ly + 2 * by, nx), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ly + 2 * by, nx), jnp.float32)
+    vmem_limit = min(_rk4_vmem_estimate(L, by, nx) + (8 << 20), 100 << 20)
+    spec3 = [c3, t3, b3, l3, r3, tl3, tr3, bl3, br3]
+    spec2 = [c2, t2, b2, l2, r2, tl2, tr2, bl2, br2]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=(spec3 * 4 + spec2),
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(sh3, sh3, sh3, sh3, sh2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        *([u_p] * 9), *([v_p] * 9), *([T_p] * 9), *([q_p] * 9),
+        *([ps_p] * 9),
+    )
+    return out
+
+
 def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
                                dt: float, interpret: bool = False,
                                phi_s=None):

@@ -674,7 +674,6 @@ def sharded_pe_step_pallas_fused(
     """
     import numbers
 
-    from njw_tpu.ops.pe_stencil import pe_rk4_pallas_local
     from njw_tpu.weather.primitive import PEState
 
     if grid.bc != "periodic":
@@ -692,28 +691,43 @@ def sharded_pe_step_pallas_fused(
     dt = float(dt)
     f = float(params.coriolis_f)
 
-    def pad8(a):
-        """Exchange FOUR halo rows each way, once per step; embed them at
-        slab rows 4:8 / ly+8:ly+12 (the fused kernel reads t[:, -4:] and
-        b[:, :4]; the outer 4 rows are zero filler it never reads)."""
-        top = _ring_shift(a[..., -4:, :], "y", +1)
-        bot = _ring_shift(a[..., :4, :], "y", -1)
-        filler = jnp.zeros(a.shape[:-2] + (4, a.shape[-1]), a.dtype)
-        return jnp.concatenate(
-            [filler, top, a, bot, filler], axis=-2)
+    from njw_tpu.ops.pe_stencil import (
+        pe_rk4_local_pick_by, pe_rk4_pallas_carry,
+    )
 
-    def one_step(s: PEState) -> PEState:
-        return pe_rk4_pallas_local(
-            pad8(s.u), pad8(s.v), pad8(s.T), pad8(s.q), pad8(s.ps),
-            ly=ly, nx=grid.nx, L=L, dt=dt, coriolis_f=f,
-            dx=float(grid.dx), dy=float(grid.dy), interpret=interpret)
+    by = pe_rk4_local_pick_by(L, ly, grid.nx)
+
+    # Persistent by-row-padded carry (r4, same pattern as the sharded SWE
+    # path): exchange FOUR halo rows each way once per step into the
+    # carry's halo band (the fused kernel reads slab rows t[-4:] / b[:4];
+    # the rest of the band is never consumed), and the carry-form kernel
+    # writes the next padded block directly — no per-step full-state
+    # concat of the (4L+1)-plane state.
+    def refresh(a):
+        top = _ring_shift(a[..., by + ly - 4:by + ly, :], "y", +1)
+        bot = _ring_shift(a[..., by:by + 4, :], "y", -1)
+        at = (0,) * (a.ndim - 2)
+        a = lax.dynamic_update_slice(a, top, at + (by - 4, 0))
+        return lax.dynamic_update_slice(a, bot, at + (by + ly, 0))
+
+    def to_carry(a):
+        zpad = jnp.zeros(a.shape[:-2] + (by, a.shape[-1]), a.dtype)
+        return jnp.concatenate([zpad, a, zpad], axis=-2)
 
     def local_steps(state: PEState) -> PEState:
-        def body(s, _):
-            return one_step(s), None
+        def body(c, _):
+            pu, pv, pT, pq, pps = (refresh(p) for p in c)
+            return pe_rk4_pallas_carry(
+                pu, pv, pT, pq, pps, ly=ly, nx=grid.nx, L=L, by=by,
+                dt=dt, coriolis_f=f, dx=float(grid.dx), dy=float(grid.dy),
+                interpret=interpret), None
 
-        state, _ = lax.scan(body, state, None, length=n_steps)
-        return state
+        carry = tuple(to_carry(a) for a in
+                      (state.u, state.v, state.T, state.q, state.ps))
+        (pu, pv, pT, pq, pps), _ = lax.scan(body, carry, None,
+                                            length=n_steps)
+        sl = lambda a: a[..., by:by + ly, :]
+        return PEState(u=sl(pu), v=sl(pv), T=sl(pT), q=sl(pq), ps=sl(pps))
 
     p3 = P(None, "y", None)
     spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", None))
