@@ -1032,6 +1032,149 @@ def pe_rk4_pallas_carry(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "lx", "L", "dt", "coriolis_f", "dx", "dy",
+                     "by", "interpret"),
+)
+def pe_rk4_pallas_local2d(
+    u_p, v_p, T_p, q_p, ps_p, *, ly: int, lx: int, L: int, dt: float,
+    coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    by: Optional[int] = None, interpret: bool = False,
+) -> PEState:
+    """Whole-RK4 fused PE step on a 2-D-halo-padded LOCAL block.
+
+    The ('y','x')-mesh counterpart of :func:`pe_rk4_pallas_local`: the
+    shard_map caller exchanges, ONCE PER STEP, 128-lane x slabs carrying
+    the 4 needed lanes at the interior-adjacent edge, then 8-row y slabs
+    of the x-padded block carrying the 4 needed rows (corners ride the
+    x-padded columns). This runs the entire 4-stage RK4 in one kernel
+    pass on the (L, ly+16, lx+256) padded fields — one exchange + one
+    kernel per step vs the stage path's four of each
+    (sharded_pe_step_pallas_2d). Validity shrinks 4 rows/lanes across
+    the stages, exactly what the slabs carry; the slab filler beyond
+    that is never consumed by kept outputs.
+
+    Returns out PEState on the (L, ly, lx) interior.
+    """
+    if by is None:
+        from njw_tpu.platform.device import detect
+
+        budget = _rk4_vmem_budget(detect())
+        for cand in (32, 16, 8):
+            if ly % cand == 0 and _rk4_vmem_estimate(L, cand, lx) <= budget:
+                by = cand
+                break
+        else:
+            raise ValueError("PE fused local2d: no strip height fits VMEM "
+                             f"at shard width lx={lx}")
+    if ly % by or lx % 128:
+        raise ValueError(f"ly={ly} % by={by} != 0 or lx % 128 != 0")
+    r = by // 8
+
+    kern = functools.partial(
+        _pe_rk4_kernel, L=L, by=by, bx=lx, dx=float(dx), dy=float(dy),
+        f=float(coriolis_f), dt=float(dt), has_phi_s=False, xpad=64,
+    )
+
+    # operand views of the single padded array (see
+    # pe_stage_pallas_local2d for the pattern, plus corner views):
+    #   c    (L, ly, lx)      rows 8:8+ly, cols 128:128+lx
+    #   yc   (L, ly+16, lx)   all rows,    cols 128:128+lx
+    #   xh   (L, ly, 256)     rows 8:8+ly, outer column slabs
+    #   xyh  (L, ly+16, 256)  all rows,    outer column slabs (corners)
+    c3 = pl.BlockSpec((L, by, lx), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, lx), lambda i: (0, i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, lx), lambda i: (0, (i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    r3 = pl.BlockSpec((L, by, LANE), lambda i: (0, i, 1),
+                      memory_space=pltpu.VMEM)
+    tl3 = pl.BlockSpec((L, 8, LANE), lambda i: (0, i * r, 0),
+                       memory_space=pltpu.VMEM)
+    tr3 = pl.BlockSpec((L, 8, LANE), lambda i: (0, i * r, 1),
+                       memory_space=pltpu.VMEM)
+    bl3 = pl.BlockSpec((L, 8, LANE), lambda i: (0, (i + 1) * r + 1, 0),
+                       memory_space=pltpu.VMEM)
+    br3 = pl.BlockSpec((L, 8, LANE), lambda i: (0, (i + 1) * r + 1, 1),
+                       memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, lx), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, lx), lambda i: (i * r, 0),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, lx), lambda i: ((i + 1) * r + 1, 0),
+                      memory_space=pltpu.VMEM)
+    l2 = pl.BlockSpec((by, LANE), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    r2 = pl.BlockSpec((by, LANE), lambda i: (i, 1),
+                      memory_space=pltpu.VMEM)
+    tl2 = pl.BlockSpec((8, LANE), lambda i: (i * r, 0),
+                       memory_space=pltpu.VMEM)
+    tr2 = pl.BlockSpec((8, LANE), lambda i: (i * r, 1),
+                       memory_space=pltpu.VMEM)
+    bl2 = pl.BlockSpec((8, LANE), lambda i: ((i + 1) * r + 1, 0),
+                       memory_space=pltpu.VMEM)
+    br2 = pl.BlockSpec((8, LANE), lambda i: ((i + 1) * r + 1, 1),
+                       memory_space=pltpu.VMEM)
+
+    def views3(a):
+        c = jax.lax.slice(a, (0, 8, LANE), (L, 8 + ly, LANE + lx))
+        yc = jax.lax.slice(a, (0, 0, LANE), (L, ly + 16, LANE + lx))
+        xh = jnp.concatenate([
+            jax.lax.slice(a, (0, 8, 0), (L, 8 + ly, LANE)),
+            jax.lax.slice(a, (0, 8, LANE + lx), (L, 8 + ly, 2 * LANE + lx)),
+        ], axis=2)
+        xyh = jnp.concatenate([
+            jax.lax.slice(a, (0, 0, 0), (L, ly + 16, LANE)),
+            jax.lax.slice(a, (0, 0, LANE + lx),
+                          (L, ly + 16, 2 * LANE + lx)),
+        ], axis=2)
+        return c, yc, xh, xyh
+
+    def views2(a):
+        c = jax.lax.slice(a, (8, LANE), (8 + ly, LANE + lx))
+        yc = jax.lax.slice(a, (0, LANE), (ly + 16, LANE + lx))
+        xh = jnp.concatenate([
+            jax.lax.slice(a, (8, 0), (8 + ly, LANE)),
+            jax.lax.slice(a, (8, LANE + lx), (8 + ly, 2 * LANE + lx)),
+        ], axis=1)
+        xyh = jnp.concatenate([
+            jax.lax.slice(a, (0, 0), (ly + 16, LANE)),
+            jax.lax.slice(a, (0, LANE + lx), (ly + 16, 2 * LANE + lx)),
+        ], axis=1)
+        return c, yc, xh, xyh
+
+    def ops3(a):
+        c, yc, xh, xyh = views3(a)
+        return [c, yc, yc, xh, xh, xyh, xyh, xyh, xyh]
+
+    def ops2(a):
+        c, yc, xh, xyh = views2(a)
+        return [c, yc, yc, xh, xh, xyh, xyh, xyh, xyh]
+
+    sh3 = jax.ShapeDtypeStruct((L, ly, lx), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ly, lx), jnp.float32)
+    vmem_limit = min(_rk4_vmem_estimate(L, by, lx) + (8 << 20), 100 << 20)
+    spec3 = [c3, t3, b3, l3, r3, tl3, tr3, bl3, br3]
+    spec2 = [c2, t2, b2, l2, r2, tl2, tr2, bl2, br2]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=(spec3 * 4 + spec2),
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(sh3, sh3, sh3, sh3, sh2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        *ops3(u_p), *ops3(v_p), *ops3(T_p), *ops3(q_p), *ops2(ps_p),
+    )
+    return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
+
+
 def make_pe_pallas_rk4_stepper(grid: GridSpec, params: PhysicsParams,
                                dt: float, interpret: bool = False,
                                phi_s=None):

@@ -680,6 +680,10 @@ def sharded_pe_step_pallas_fused(
         raise NotImplementedError("pallas sharded PE requires periodic BC")
     if not isinstance(params.coriolis_f, numbers.Number):
         raise NotImplementedError("constant Coriolis f only")
+    if mesh.devices.ndim == 2 and mesh.devices.shape[1] > 1:
+        return sharded_pe_step_pallas_fused_2d(
+            grid, params, mesh, dt=dt, n_steps=n_steps,
+            interpret=interpret, donate=donate)
     n_dev = int(mesh.devices.size)
     if grid.ny % n_dev:
         raise ValueError(f"ny={grid.ny} not divisible by {n_dev} devices")
@@ -863,6 +867,83 @@ def sharded_swe_step_pallas_2d(
         return state
 
     spec = WeatherState(u=P("y", "x"), v=P("y", "x"), h=P("y", "x"))
+    step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                            out_specs=spec, check_vma=False)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def sharded_pe_step_pallas_fused_2d(
+    grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
+    n_steps: int = 1, interpret: bool = False, donate: bool = False,
+):
+    """Multi-chip PE with the WHOLE-RK4 fused kernel over a ('y','x')
+    mesh (the BASELINE config-5 decomposition, r4): ONE exchange + ONE
+    kernel pass per step vs the stage path's four of each. Each step
+    ppermutes 128-lane x slabs carrying the 4 needed lanes at the
+    interior-adjacent edge, then 8-row y slabs of the x-padded block
+    carrying the 4 needed rows (corners ride the x-padded columns), and
+    runs pe_rk4_pallas_local2d on the (L, ly+16, lx+256) padded fields.
+
+    Falls back to the 4-stage path (sharded_pe_step_pallas_2d) when the
+    shard width's full-width strips exceed VMEM.
+    """
+    import numbers
+
+    from njw_tpu.ops.pe_stencil import (
+        _rk4_vmem_budget, _rk4_vmem_estimate, pe_rk4_pallas_local2d,
+    )
+    from njw_tpu.platform.device import detect
+    from njw_tpu.weather.primitive import PEState
+
+    if grid.bc != "periodic":
+        raise NotImplementedError("pallas sharded PE requires periodic BC")
+    if not isinstance(params.coriolis_f, numbers.Number):
+        raise NotImplementedError("constant Coriolis f only")
+    py, px = mesh.devices.shape
+    if grid.ny % py or grid.nx % px:
+        raise ValueError(
+            f"grid {grid.ny}x{grid.nx} not divisible by mesh {py}x{px}")
+    ly, lx = grid.ny // py, grid.nx // px
+    if ly % 8 or lx % 128:
+        raise ValueError("per-shard block must be a multiple of (8, 128)")
+    L = grid.levels
+    if not any(ly % c == 0 and _rk4_vmem_estimate(L, c, lx)
+               <= _rk4_vmem_budget(detect()) for c in (32, 16, 8)):
+        return sharded_pe_step_pallas_2d(
+            grid, params, mesh, dt=dt, n_steps=n_steps,
+            interpret=interpret, donate=donate)
+    dt = float(dt)
+    f = float(params.coriolis_f)
+
+    def pad_2d4(a):
+        """x: 128-lane slabs with the 4 true lanes at the
+        interior-adjacent edge; y: 8-row slabs of the x-padded block with
+        the 4 true rows adjacent to the interior. Filler is ones (the
+        kernel's ps pads feed log(); never consumed by kept outputs)."""
+        left4 = _ring_shift(a[..., :, -4:], "x", +1)
+        right4 = _ring_shift(a[..., :, :4], "x", -1)
+        fx = jnp.ones(a.shape[:-1] + (124,), a.dtype)
+        ax = jnp.concatenate([fx, left4, a, right4, fx], axis=-1)
+        top4 = _ring_shift(ax[..., -4:, :], "y", +1)
+        bot4 = _ring_shift(ax[..., :4, :], "y", -1)
+        fy = jnp.ones(ax.shape[:-2] + (4, ax.shape[-1]), ax.dtype)
+        return jnp.concatenate([fy, top4, ax, bot4, fy], axis=-2)
+
+    def one_step(s: PEState) -> PEState:
+        return pe_rk4_pallas_local2d(
+            pad_2d4(s.u), pad_2d4(s.v), pad_2d4(s.T), pad_2d4(s.q),
+            pad_2d4(s.ps), ly=ly, lx=lx, L=L, dt=dt, coriolis_f=f,
+            dx=float(grid.dx), dy=float(grid.dy), interpret=interpret)
+
+    def local_steps(state: PEState) -> PEState:
+        def body(s, _):
+            return one_step(s), None
+
+        state, _ = lax.scan(body, state, None, length=n_steps)
+        return state
+
+    p3 = P(None, "y", "x")
+    spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", "x"))
     step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
                             out_specs=spec, check_vma=False)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -304,6 +304,38 @@ class TestShardedPEFusedRK4:
                 rtol=1e-3, atol=5e-4, err_msg=name,
             )
 
+    @pytest.mark.parametrize("mesh_shape", [(2, 2), (1, 2)])
+    def test_fused_rk4_2d_mesh_matches_single_device(self, mesh_shape):
+        """Whole-RK4 fused kernel over the ('y','x') mesh (one exchange
+        + one kernel per step; 4-lane x slabs + 4-row y slabs with
+        corners riding the x-padded columns, r4) == whole-domain XLA."""
+        from njw_tpu.parallel.halo import sharded_pe_step_pallas_fused
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        py, px = mesh_shape
+        grid = GridSpec(nx=128 * px, ny=16 * py, levels=3, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+
+        mesh = Mesh(np.array(jax.devices()[:py * px]).reshape(py, px),
+                    ("y", "x"))
+        step = sharded_pe_step_pallas_fused(grid, params, mesh, dt=30.0,
+                                            n_steps=10, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(model="primitive", grid_width=grid.nx,
+                        grid_height=grid.ny, num_levels=3, dx=1e5, dy=1e5,
+                        dt=30.0, coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=15.0,
+                                     perturb=0.5)
+        sim.step(10)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name)),
+                np.asarray(getattr(sim.state, name)),
+                rtol=1e-3, atol=5e-4, err_msg=name,
+            )
+
 
 class TestShardedSWEPallas2D:
     @pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)])
