@@ -843,9 +843,14 @@ def sharded_swe_step_pallas_2d(
         raise ValueError("per-shard block must be a multiple of (8, 128)")
 
     def pad_x(f):
-        left = _ring_shift(f[:, -128:], "x", +1)
-        right = _ring_shift(f[:, :128], "x", -1)
-        return jnp.concatenate([left, f, right], axis=1)
+        """128-lane x slabs carrying only the FOUR lanes the 4-stage
+        kernel consumes, at the interior-adjacent edge (zero filler the
+        kernel's validity shrink never lets reach a kept output) —
+        1/32 the ICI payload of full-slab exchange."""
+        left4 = _ring_shift(f[:, -4:], "x", +1)
+        right4 = _ring_shift(f[:, :4], "x", -1)
+        fx = jnp.zeros(f.shape[:-1] + (124,), f.dtype)
+        return jnp.concatenate([fx, left4, f, right4, fx], axis=1)
 
     pad_y = _pad4_filler
 
