@@ -984,11 +984,16 @@ def sharded_pe_step_pallas_2d(
     f = float(params.coriolis_f)
 
     def pad_2d(a):
-        """x: 128-lane slabs; y: ONE true row each way inside 8-row
-        filler slabs (kernel reads only slab rows 7 / 0)."""
-        left = _ring_shift(a[..., :, -128:], "x", +1)
-        right = _ring_shift(a[..., :, :128], "x", -1)
-        ax = jnp.concatenate([left, a, right], axis=-1)
+        """x: 128-lane slabs carrying ONE true lane at the
+        interior-adjacent edge (1/128 the ICI payload; ones filler — the
+        whole slab enters the stage frame and ps feeds log(), but the
+        1-lane validity shrink keeps filler out of kept outputs);
+        y: ONE true row each way inside 8-row filler slabs (kernel reads
+        only slab rows 7 / 0, so the y filler never enters the frame)."""
+        left1 = _ring_shift(a[..., :, -1:], "x", +1)
+        right1 = _ring_shift(a[..., :, :1], "x", -1)
+        fx = jnp.ones(a.shape[:-1] + (127,), a.dtype)
+        ax = jnp.concatenate([fx, left1, a, right1, fx], axis=-1)
         top_row = _ring_shift(ax[..., -1:, :], "y", +1)
         bot_row = _ring_shift(ax[..., :1, :], "y", -1)
         filler = jnp.zeros(ax.shape[:-2] + (7, ax.shape[-1]), ax.dtype)
