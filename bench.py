@@ -110,6 +110,15 @@ def main() -> None:
         "vs_baseline": round(vs_sol, 4),
         "parity_ok": parity_ok,
     }))
+    if not parity_ok:
+        # fail loudly (ADVICE r4): a perf number without correctness is
+        # not a result — nonzero exit so CI/driver runs can't miss it
+        import sys
+
+        print("PARITY FAILURE: kernel path diverged from the XLA "
+              "integrator beyond 1e-3; see bench.py parity gate",
+              file=sys.stderr)
+        raise SystemExit(2)
 
 
 if __name__ == "__main__":

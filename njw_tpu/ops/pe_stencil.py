@@ -928,6 +928,20 @@ def pe_rk4_pallas_local(
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
 
+def pe_rk4_pick_by_2d(L: int, ly: int, lx: int) -> Optional[int]:
+    """Largest strip height whose full-shard-width fused-RK4 frame fits
+    VMEM, or None. ONE shared pick (ADVICE r4): used by the kernel's own
+    by=None branch AND the sharded fallback gates (parallel.halo), so
+    the fallback decision and the kernel pick can never disagree."""
+    from njw_tpu.platform.device import detect
+
+    budget = _rk4_vmem_budget(detect())
+    for cand in (32, 16, 8):
+        if ly % cand == 0 and _rk4_vmem_estimate(L, cand, lx) <= budget:
+            return cand
+    return None
+
+
 def pe_rk4_local_pick_by(L: int, ly: int, nx: int) -> int:
     """Strip height for the full-shard-width local/carry fused kernels."""
     from njw_tpu.platform.device import detect
@@ -936,9 +950,9 @@ def pe_rk4_local_pick_by(L: int, ly: int, nx: int) -> int:
     picked = _rk4_pick_blocks(L, ly, nx, budget)
     if picked is not None and picked[1] == nx:
         return picked[0]
-    for cand in (32, 16, 8):
-        if ly % cand == 0 and _rk4_vmem_estimate(L, cand, nx) <= budget:
-            return cand
+    by = pe_rk4_pick_by_2d(L, ly, nx)
+    if by is not None:
+        return by
     raise ValueError("PE fused local: no strip height fits VMEM at full "
                      f"shard width nx={nx}")
 
@@ -1058,14 +1072,8 @@ def pe_rk4_pallas_local2d(
     Returns out PEState on the (L, ly, lx) interior.
     """
     if by is None:
-        from njw_tpu.platform.device import detect
-
-        budget = _rk4_vmem_budget(detect())
-        for cand in (32, 16, 8):
-            if ly % cand == 0 and _rk4_vmem_estimate(L, cand, lx) <= budget:
-                by = cand
-                break
-        else:
+        by = pe_rk4_pick_by_2d(L, ly, lx)
+        if by is None:
             raise ValueError("PE fused local2d: no strip height fits VMEM "
                              f"at shard width lx={lx}")
     if ly % by or lx % 128:

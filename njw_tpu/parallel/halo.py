@@ -846,7 +846,13 @@ def sharded_swe_step_pallas_2d(
         """128-lane x slabs carrying only the FOUR lanes the 4-stage
         kernel consumes, at the interior-adjacent edge (zero filler the
         kernel's validity shrink never lets reach a kept output) —
-        1/32 the ICI payload of full-slab exchange."""
+        1/32 the ICI payload of full-slab exchange.
+
+        PRECONDITION (ADVICE r4): ZERO filler is safe only because the
+        SWE tendency has no log/divide — garbage lanes stay finite and
+        are cropped. The PE paths need ONES filler (ps feeds log());
+        any new kernel term with a denominator or log must switch this
+        to ones like sharded_pe_step_pallas_fused_2d.pad_2d4."""
         left4 = _ring_shift(f[:, -4:], "x", +1)
         right4 = _ring_shift(f[:, :4], "x", -1)
         fx = jnp.zeros(f.shape[:-1] + (124,), f.dtype)
@@ -895,9 +901,8 @@ def sharded_pe_step_pallas_fused_2d(
     import numbers
 
     from njw_tpu.ops.pe_stencil import (
-        _rk4_vmem_budget, _rk4_vmem_estimate, pe_rk4_pallas_local2d,
+        pe_rk4_pallas_local2d, pe_rk4_pick_by_2d,
     )
-    from njw_tpu.platform.device import detect
     from njw_tpu.weather.primitive import PEState
 
     if grid.bc != "periodic":
@@ -912,8 +917,7 @@ def sharded_pe_step_pallas_fused_2d(
     if ly % 8 or lx % 128:
         raise ValueError("per-shard block must be a multiple of (8, 128)")
     L = grid.levels
-    if not any(ly % c == 0 and _rk4_vmem_estimate(L, c, lx)
-               <= _rk4_vmem_budget(detect()) for c in (32, 16, 8)):
+    if pe_rk4_pick_by_2d(L, ly, lx) is None:  # same pick the kernel uses
         return sharded_pe_step_pallas_2d(
             grid, params, mesh, dt=dt, n_steps=n_steps,
             interpret=interpret, donate=donate)

@@ -1,0 +1,120 @@
+"""TPU probe: small-xpad variants of the whole-RK4 fused PE kernel.
+
+The r4 note recorded "xpad=8 rejected by Mosaic" — but that experiment
+predated the slice-shift switch in _pe_tend_values (pltpu.roll's dynamic
+rotate was the op that rejected non-128-aligned widths). With shifts now
+lowered as static slice+concat, non-aligned frame widths may compile,
+and the (by+8)(bx+2*xpad)/(by*bx) pad-compute factor at BASELINE
+config 5 would fall 1.875 -> 1.328 (xpad=8) — predicted ~41 ms/step at
+the measured ~5.5G padded-cells/s rate vs the current 57.6.
+
+For each candidate (by, bx, xpad): compile pe_rk4_step_pallas, check
+on-chip allclose vs the xpad=64 default, then differential-time
+(t(2N)-t(N), D2H-synced) per CLAUDE.md. Prints one JSON line each.
+
+Usage: python scripts/probe_pe_xpad.py [--config 4|5] [--steps N]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_probe(nx, ny, L, steps, candidates):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from njw_tpu.ops.pe_stencil import pe_rk4_step_pallas
+    from njw_tpu.weather.grid import GridSpec
+    from njw_tpu.weather.primitive import pe_initial_state
+
+    grid = GridSpec(nx=nx, ny=ny, levels=L, dx=1e5, dy=1e5, bc="periodic")
+    dt = 20.0
+    s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+    s0 = jax.device_put(s0)
+
+    def make_scan(by, bx, xpad, n):
+        step = functools.partial(
+            pe_rk4_step_pallas, grid=grid, dt=dt, coriolis_f=1e-4,
+            by=by, bx=bx, xpad=xpad)
+
+        @jax.jit
+        def scan(s):
+            def body(c, _):
+                return step(c), None
+            out, _ = jax.lax.scan(body, s, None, length=n)
+            return out
+        return scan
+
+    def sync(s):
+        _ = np.asarray(s.ps[:4, :4])
+
+    # reference: one default-xpad step for correctness comparison
+    ref_step = make_scan(None, None, 64, 1)
+    s_ref = ref_step(s0)
+    sync(s_ref)
+
+    for by, bx, xpad in candidates:
+        rec = {"config": f"PE {nx}x{ny}x{L}", "by": by, "bx": bx,
+               "xpad": xpad}
+        try:
+            one = make_scan(by, bx, xpad, 1)
+            s1 = one(s0)
+            sync(s1)
+            md = float(jnp.max(jnp.abs(s1.ps - s_ref.ps)))
+            mdu = float(jnp.max(jnp.abs(s1.u - s_ref.u)))
+            rec["maxdiff_ps"] = md
+            rec["maxdiff_u"] = mdu
+            if not (np.isfinite(md) and md < 1e-3 and mdu < 1e-3):
+                rec["error"] = "MISMATCH vs xpad=64"
+                print(json.dumps(rec), flush=True)
+                continue
+            scn = make_scan(by, bx, xpad, steps)
+            scn2 = make_scan(by, bx, xpad, 2 * steps)
+            sync(scn(s0))   # warm N
+            sync(scn2(s0))  # warm 2N
+            t0 = time.perf_counter(); sync(scn(s0))
+            t1 = time.perf_counter(); sync(scn2(s0))
+            t2 = time.perf_counter()
+            ms = ((t2 - t1) - (t1 - t0)) / steps * 1e3
+            rec["ms_per_step"] = round(ms, 3)
+            rec["pad_factor"] = round(
+                (( (by or 32) + 8) * ((bx or nx) + 2 * xpad))
+                / (((by or 32)) * ((bx or nx))), 3)
+        except Exception as e:  # compile failures are data, not crashes
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=4, choices=(4, 5))
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--cands", type=str, default=None,
+                    help="semicolon list 'by,bx,xpad;...'")
+    args = ap.parse_args()
+    if args.cands:
+        cands = [tuple(int(v) for v in c.split(","))
+                 for c in args.cands.split(";")]
+    elif args.config == 4:
+        # default pick is (32, 512); probe small xpads at the same block
+        cands = [(32, 512, 64), (32, 512, 8), (32, 512, 4)]
+    else:
+        # default pick is (32, 256) xpad=64 (pad 1.875). Small-xpad
+        # candidates incl. wider bx that only fits VMEM at small xpad.
+        cands = [(32, 256, 64), (32, 256, 8), (32, 512, 8)]
+    if args.config == 4:
+        run_probe(512, 512, 20, args.steps or 40, cands)
+    else:
+        run_probe(2048, 2048, 40, args.steps or 10, cands)
+
+
+if __name__ == "__main__":
+    main()

@@ -337,6 +337,40 @@ class TestShardedPEFusedRK4:
             )
 
 
+    def test_fused_2d_vmem_fallback_matches(self, monkeypatch):
+        """When no strip height fits VMEM, the fused 2-D constructor must
+        fall back to the 4-stage path and still match single-device
+        (ADVICE r4: the fallback branch was never exercised)."""
+        import njw_tpu.ops.pe_stencil as pe_stencil
+        from njw_tpu.parallel.halo import sharded_pe_step_pallas_fused
+
+        monkeypatch.setattr(pe_stencil, "pe_rk4_pick_by_2d",
+                            lambda L, ly, lx: None)
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        grid = GridSpec(nx=256, ny=32, levels=3, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+        step = sharded_pe_step_pallas_fused(grid, params, mesh, dt=30.0,
+                                            n_steps=6, interpret=True)
+        sharded = step(sharded_state(s0, mesh))
+
+        cfg = SimConfig(model="primitive", grid_width=256, grid_height=32,
+                        num_levels=3, dx=1e5, dy=1e5, dt=30.0,
+                        coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=15.0,
+                                     perturb=0.5)
+        sim.step(6)
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(sharded, name)),
+                np.asarray(getattr(sim.state, name)),
+                rtol=1e-3, atol=5e-4, err_msg=name,
+            )
+
+
 class TestShardedSWEPallas2D:
     @pytest.mark.parametrize("mesh_shape", [(2, 4), (2, 2)])
     def test_matches_single_device(self, mesh_shape):
