@@ -70,6 +70,32 @@ class TestOracle:
         np.testing.assert_allclose(np.asarray(t.q), dq, rtol=1e-4, atol=1e-8)
         np.testing.assert_allclose(np.asarray(t.ps), dps, rtol=1e-4, atol=1e-6)
 
+    def test_rk4_oracle_1000_steps(self):
+        """BASELINE.md:49-50 bar for the PE core: prognostic fields
+        allclose with the independent NumPy CPU reference after 1000
+        RK4 steps (mirrors test_weather_swe.test_rk4_oracle_1000_steps).
+        Tolerance policy: per-field scale-normalized 1e-3 — measured
+        f32 jnp-vs-numpy drift at this horizon is ~6e-5; a halo/shift
+        bug shows up at O(1)."""
+        from njw_tpu.weather.oracle import PEOracle
+
+        cfg = SimConfig(model="primitive", grid_width=48, grid_height=48,
+                        num_levels=4, dx=1e5, dy=1e5, dt=30.0,
+                        coriolis_f=1e-4, backend="xla")
+        sim = Simulation.from_config(cfg, "baroclinic", u_jet=10.0,
+                                     perturb=0.5)
+        s0 = tuple(np.asarray(getattr(sim.state, n)).copy()
+                   for n in ("u", "v", "T", "q", "ps"))
+        sim.step(1000)
+        ref = PEOracle(dx=1e5, dy=1e5, bc="periodic",
+                       coriolis_f=1e-4).run(s0, 30.0, 1000)
+        for name, r in zip(("u", "v", "T", "q", "ps"), ref):
+            a = np.asarray(getattr(sim.state, name))
+            assert np.isfinite(a).all(), name
+            scale = np.abs(r).max() + 1e-30
+            np.testing.assert_allclose(a / scale, r / scale, rtol=0,
+                                       atol=1e-3, err_msg=name)
+
 
 class TestSimulation:
     def _cfg(self, **kw):
