@@ -38,8 +38,21 @@ def main():
     from njw_tpu.geofinancial.risk_metrics import _mc_portfolio_samples
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--config", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "financial_benchmark.yaml"),
+        help="benchmark sizes yaml (analog of the reference's "
+             "benchmark/configs/financial_modeling.yaml)")
     args = ap.parse_args()
+
+    import yaml
+
+    with open(args.config) as fh:
+        bcfg = yaml.safe_load(fh)
+    iters = args.iters or int(bcfg.get("iterations", 8))
+    sizes = bcfg["risk_metrics"]["sizes"]
+    wsim = bcfg["wealth_simulation"]
 
     rng = np.random.default_rng(0)
 
@@ -56,13 +69,12 @@ def main():
         t2 = once(2 * iters)
         return max(t2 - t1, 1e-9) / iters * 1e3
 
-    # yaml 'large': 500 assets, 5 years history -> MC VaR; plus a
-    # TPU-scale row (the whole point of the MXU formulation)
-    cases = []
-    for n_assets, n_samples, label in [
-        (500, 10_000, "yaml_large"),
-        (500, 1_000_000, "tpu_scale"),
-    ]:
+    # sizes from configs/financial_benchmark.yaml ('yaml_large' mirrors
+    # the reference yaml's large preset; 'tpu_scale' is the point of the
+    # MXU formulation)
+    for label, sz in sizes.items():
+        n_assets = int(sz["num_assets"])
+        n_samples = int(sz["monte_carlo_samples"])
         a = rng.standard_normal((n_assets, n_assets)) * 0.01
         cov = a @ a.T + 1e-4 * np.eye(n_assets)
         chol = jnp.asarray(np.linalg.cholesky(cov), jnp.float32)
@@ -81,15 +93,17 @@ def main():
 
             return go(n)
 
-        ms = timed(run, args.iters)
+        ms = timed(run, iters)
         print(json.dumps({
             "op": f"mc_var_draw_{label}", "assets": n_assets,
             "samples": n_samples, "ms": round(ms, 3),
             "samples_per_s": round(n_samples / (ms / 1e3), 0),
         }), flush=True)
 
-    # terminal-wealth simulation: yaml large portfolio MC
-    n_assets = 100
+    # terminal-wealth simulation (sizes from the yaml)
+    n_assets = int(wsim["num_assets"])
+    n_paths = int(wsim["num_paths"])
+    horizon = int(wsim["horizon_days"])
     a = rng.standard_normal((n_assets, n_assets)) * 0.01
     cov = a @ a.T + 1e-4 * np.eye(n_assets)
     chol = jnp.asarray(np.linalg.cholesky(cov), jnp.float32)
@@ -102,19 +116,18 @@ def main():
             def body(i, acc):
                 tw = _mc_terminal_wealth(w, mean, chol,
                                          jax.random.PRNGKey(i),
-                                         10_000, 252)
+                                         n_paths, horizon)
                 return acc + jnp.sum(tw) * 1e-9
 
             return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
 
         return go(n)
 
-    ms = timed(run_sim, args.iters)
-    paths = 10_000
+    ms = timed(run_sim, iters)
     print(json.dumps({
-        "op": "mc_wealth_sim_10k_paths_252d_100assets",
+        "op": f"mc_wealth_sim_{n_paths}paths_{horizon}d_{n_assets}assets",
         "ms": round(ms, 3),
-        "path_days_per_s": round(paths * 252 / (ms / 1e3), 0),
+        "path_days_per_s": round(n_paths * horizon / (ms / 1e3), 0),
     }), flush=True)
 
 

@@ -31,6 +31,13 @@ def run_probe(nx, ny, L, steps, candidates):
     import jax.numpy as jnp
     import numpy as np
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
     from njw_tpu.ops.pe_stencil import pe_rk4_step_pallas
     from njw_tpu.weather.grid import GridSpec
     from njw_tpu.weather.primitive import pe_initial_state
