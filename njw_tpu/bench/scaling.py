@@ -131,3 +131,74 @@ def halo_overlap_efficiency(grid_size: int = 256, n_devices: int = 4,
         "exposed_comm_s": max(t_full - t_nocomm, 0.0),
         "overlap_efficiency": min(t_nocomm / t_full, 1.0),
     }
+
+
+def pe_mesh_shape_sweep(
+    n_devices: int = 8, *, ny: int = 64, nx: int = 1024, L: int = 6,
+    dt: float = 10.0, shapes: Optional[list] = None,
+) -> list[dict]:
+    """Config-5 mesh-shape pre-validation (VERDICT r4 #8): for each
+    (py, px) factorization, build the whole-RK4 fused sharded PE step,
+    certify sharded == single-device, and report the per-step
+    collective-permute count + ICI payload bytes from the compiled HLO.
+
+    Runs on the 8-virtual-CPU-device proxy: collective COUNTS and
+    PAYLOADS are topology facts that transfer to a real pod; absolute
+    seconds do not. The grid defaults keep config-5 proportions
+    (x-heavy) at proxy scale."""
+    import re
+
+    from njw_tpu.parallel.halo import (
+        sharded_pe_step_pallas_fused, sharded_state,
+    )
+    from njw_tpu.weather.primitive import pe_initial_state
+
+    shapes = shapes or [(n_devices // a, a)
+                        for a in (1, 2, 4, 8) if a <= n_devices
+                        and n_devices % a == 0]
+    devs = jax.devices()[:n_devices]
+    interp = devs[0].platform != "tpu"
+    grid = GridSpec(nx=nx, ny=ny, levels=L, dx=1e5, dy=1e5)
+    params = PhysicsParams(coriolis_f=1e-4)
+    s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+
+    # single-device reference
+    from njw_tpu.weather.dynamics import make_tendency_fn
+    from njw_tpu.weather.integrators import make_stepper
+
+    stepper = make_stepper("rk4", make_tendency_fn("primitive", grid,
+                                                   params))
+    _, ref = jax.jit(lambda s: stepper.step((), s, dt))(s0)
+
+    pat = re.compile(
+        r"= (f32|bf16|f64|s32)\[([0-9,]*)\]\S* collective-permute")
+    itemsize = {"f32": 4, "s32": 4, "bf16": 2, "f64": 8}
+    rows = []
+    for py, px in shapes:
+        if ny % (8 * py) or nx % (128 * px):
+            continue
+        mesh = Mesh(np.array(devs).reshape(py, px), ("y", "x"))
+        step = sharded_pe_step_pallas_fused(grid, params, mesh, dt=dt,
+                                            n_steps=1, interpret=interp)
+        st = sharded_state(s0, mesh)
+        out = step(st)
+        jax.block_until_ready(out)
+        maxdiff = 0.0
+        for name in ("u", "v", "T", "q", "ps"):
+            a = np.asarray(getattr(ref, name))
+            b = np.asarray(getattr(out, name))
+            scale = np.abs(a).max() + 1e-30
+            maxdiff = max(maxdiff, float(np.abs(b - a).max() / scale))
+        hlo = step.lower(st).compile().as_text()
+        n_coll, payload = 0, 0
+        for m in pat.finditer(hlo):
+            n_coll += 1
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            payload += int(np.prod(dims)) * itemsize[m.group(1)]
+        rows.append({
+            "mesh": [py, px], "local_block": [ny // py, nx // px],
+            "normalized_maxdiff": maxdiff, "ok": maxdiff < 2e-4,
+            "collective_permutes_per_step": n_coll,
+            "ici_payload_bytes_per_step": payload,
+        })
+    return rows

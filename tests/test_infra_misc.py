@@ -29,6 +29,20 @@ class TestScalingHarness:
         assert 0 < m["overlap_efficiency"] <= 1.0
         assert m["t_full_s"] > 0
 
+    def test_pe_mesh_shape_sweep(self):
+        """Config-5 mesh-shape pre-validation (VERDICT r4 #8): every
+        (py, px) factorization of the fused PE path must be correct on
+        the proxy mesh and report its collective footprint."""
+        from njw_tpu.bench.scaling import pe_mesh_shape_sweep
+
+        rows = pe_mesh_shape_sweep(n_devices=4, ny=32, nx=512, L=4,
+                                   shapes=[(4, 1), (2, 2), (1, 4)])
+        assert len(rows) == 3
+        for r in rows:
+            assert r["ok"], r
+            assert r["collective_permutes_per_step"] > 0
+            assert r["ici_payload_bytes_per_step"] > 0
+
 
 class TestConfig:
     def test_json_roundtrip_and_overrides(self, tmp_path):
