@@ -32,6 +32,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Hemispheric parity of each runtime table: Pbar[m,n](-mu) =
+# (-1)^(n-m) Pbar(mu); H = (1-mu^2) dP/dmu flips it. The quadrature
+# weights and 1/cos^2 factors are even in mu, so they preserve parity.
+_TABLE_PARITY = {"P": +1, "Pw": +1, "Pw_over_c2": +1,
+                 "H": -1, "Hw_over_c2": -1}
+
+
 def gaussian_grid(nlat: int):
     """Gaussian latitudes (ascending mu = sin(lat)) and quadrature weights."""
     mu, w = np.polynomial.legendre.leggauss(nlat)
@@ -89,7 +96,7 @@ class SphericalHarmonicTransform:
 
     def __init__(self, nlat: int, trunc: int | None = None,
                  radius: float = 6.371e6, dtype=jnp.float32,
-                 table_dtype=None):
+                 table_dtype=None, fold_parity: bool = False):
         self.nlat = int(nlat)
         self.nlon = 2 * self.nlat
         self.trunc = int(trunc) if trunc is not None else \
@@ -131,6 +138,34 @@ class SphericalHarmonicTransform:
             0.5 * (w / (1.0 - mu * mu)) * H[:, : self.trunc + 2, :], tdt)
         self._Pw_over_c2 = dev(
             0.5 * (w / (1.0 - mu * mu)) * P[:, : self.trunc + 2, :], tdt)
+
+        # Opt-in parity fold (r5): Pbar[m,n](-mu) = (-1)^(n-m) Pbar(mu)
+        # (H has the opposite parity), so each Legendre contraction can
+        # run as TWO half-size matmuls over the northern hemisphere with
+        # the n axis split by parity — half the FLOPs and 12 -> 8 MXU
+        # tile passes per m at T341 (the thin-matmul occupancy residual
+        # the corrected r4 roofline identified). Slicing is by n parity
+        # (m-independent), so no gathers anywhere; the (-1)^m factor
+        # rides as a per-m sign vector.
+        self.fold_parity = bool(fold_parity)
+        self._folded = None
+        if self.fold_parity:
+            if self.nlat % 2:
+                raise ValueError("fold_parity requires even nlat")
+            jn = self.nlat // 2  # northern half: mu ascending -> j >= jn
+            full = {
+                "P": (P[:, : self.trunc + 2, :], +1),
+                "Pw": (0.5 * w * P[:, : self.trunc + 2, :], +1),
+                "Pw_over_c2": (0.5 * (w / (1.0 - mu * mu))
+                               * P[:, : self.trunc + 2, :], +1),
+                "H": (H[:, : self.trunc + 2, :], -1),
+                "Hw_over_c2": (0.5 * (w / (1.0 - mu * mu))
+                               * H[:, : self.trunc + 2, :], -1),
+            }
+            self._folded = {
+                name: (dev(X[:, 0::2, jn:], tdt), dev(X[:, 1::2, jn:], tdt))
+                for name, (X, _p) in full.items()
+            }
 
         n = np.arange(self.trunc + 2)
         m = np.arange(self.trunc + 1)
@@ -206,6 +241,11 @@ class SphericalHarmonicTransform:
 
     _TABLES = ("P", "H", "Pw", "Pw_over_c2", "Hw_over_c2")
 
+    def _sgn_m(self, parity: int):
+        """(-1)^m * table_parity as a (1, 1, m)-broadcastable f32."""
+        s = 1.0 - 2.0 * jnp.mod(self._m.astype(jnp.float32), 2.0)
+        return (float(parity) * s)[None, None, :]
+
     def syn_stack(self, a_stack, which: str = "P"):
         """Stacked spectral -> Fourier: (q, m, n) -> (q, lat, m), reading
         the selected table once.
@@ -213,19 +253,48 @@ class SphericalHarmonicTransform:
         The contraction runs in REAL arithmetic on a (2q, m, n) split:
         the tables are real f32, and letting XLA upcast them to complex
         would double the table traffic this formulation exists to save
-        (measured r3: the complex-operand stacked einsum regressed T341)."""
+        (measured r3: the complex-operand stacked einsum regressed T341).
+
+        With fold_parity the contraction runs as two half-size matmuls
+        over the northern hemisphere (n split by parity) and the south
+        is reconstructed by symmetry: F_S = p*(-1)^m (Se - So)."""
         q = a_stack.shape[0]
         ri = jnp.concatenate([jnp.real(a_stack), jnp.imag(a_stack)])
-        out = jnp.einsum("mnj,qmn->qjm", getattr(self, "_" + which), ri)
+        if self._folded is not None and which in self._folded:
+            Xe, Xo = self._folded[which]
+            Se = jnp.einsum("mkj,qmk->qjm", Xe, ri[..., 0::2])
+            So = jnp.einsum("mkj,qmk->qjm", Xo, ri[..., 1::2])
+            north = Se + So
+            south = self._sgn_m(_TABLE_PARITY[which]) * (Se - So)
+            out = jnp.concatenate([south[:, ::-1, :], north], axis=1)
+        else:
+            out = jnp.einsum("mnj,qmn->qjm", getattr(self, "_" + which), ri)
         return (out[:q] + 1j * out[q:]).astype(self.cdtype)
 
     def anal_stack(self, F_stack, which: str):
         """Stacked Fourier -> spectral quadrature against one table:
         (q, lat, m) -> (q, m, n) (unmasked; caller applies _valid).
-        Real-split contraction — see syn_stack."""
+        Real-split contraction — see syn_stack. fold_parity: quadrature
+        over the north half against (F_N ± p*(-1)^m F_S)."""
         q = F_stack.shape[0]
         ri = jnp.concatenate([jnp.real(F_stack), jnp.imag(F_stack)])
-        out = jnp.einsum("mnj,qjm->qmn", getattr(self, "_" + which), ri)
+        if self._folded is not None and which in self._folded:
+            jn = self.nlat // 2
+            Xe, Xo = self._folded[which]
+            f_n = ri[:, jn:, :]
+            f_s = ri[:, :jn, :][:, ::-1, :]  # aligned with north nodes
+            sgn = self._sgn_m(_TABLE_PARITY[which])
+            g_plus = f_n + sgn * f_s
+            g_minus = f_n - sgn * f_s
+            ae = jnp.einsum("mkj,qjm->qmk", Xe, g_plus)
+            ao = jnp.einsum("mkj,qjm->qmk", Xo, g_minus)
+            ne, no = ae.shape[-1], ao.shape[-1]
+            if no < ne:  # T+2 odd: pad the odd half for interleaving
+                ao = jnp.pad(ao, ((0, 0), (0, 0), (0, ne - no)))
+            out = jnp.stack([ae, ao], axis=-1).reshape(
+                ae.shape[:-1] + (2 * ne,))[..., : self.trunc + 2]
+        else:
+            out = jnp.einsum("mnj,qjm->qmn", getattr(self, "_" + which), ri)
         return (out[:q] + 1j * out[q:]).astype(self.cdtype)
 
     def uv_from_psi_chi(self, psi, chi):
@@ -297,17 +366,17 @@ class SphericalHarmonicTransform:
 # leaves they are ordinary runtime operands.
 _SHT_LEAF_NAMES = ("_P", "_Pw", "_H", "_Hw_over_c2", "_Pw_over_c2",
                    "_lap", "_inv_lap", "_m", "_valid",
-                   "_mu_grid", "_cos_lat")
+                   "_mu_grid", "_cos_lat", "_folded")
 
 
 def _sht_flatten(sht):
     return tuple(getattr(sht, k) for k in _SHT_LEAF_NAMES), \
         (sht.nlat, sht.trunc, sht.radius, np.dtype(sht.dtype).name,
-         np.dtype(sht.table_dtype).name)
+         np.dtype(sht.table_dtype).name, sht.fold_parity)
 
 
 def _sht_unflatten(aux, leaves):
-    nlat, trunc, radius, dtn, tdtn = aux
+    nlat, trunc, radius, dtn, tdtn, fold_parity = aux
     obj = object.__new__(SphericalHarmonicTransform)
     obj.nlat, obj.trunc, obj.radius = nlat, trunc, radius
     obj.nlon = 2 * nlat
@@ -315,6 +384,7 @@ def _sht_unflatten(aux, leaves):
     obj.cdtype = jnp.complex64 if dtn == "float32" else jnp.complex128
     obj.table_dtype = jnp.dtype(tdtn)
     obj.spec_shape = (trunc + 1, trunc + 2)
+    obj.fold_parity = fold_parity
     mu, w = gaussian_grid(nlat)
     obj.mu, obj.quad_w = mu, w
     obj.lats = np.arcsin(mu)

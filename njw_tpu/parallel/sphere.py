@@ -43,6 +43,8 @@ def sht_partition_specs(axis: str = "lat"):
     indexed tables shard over `axis`, spectral-indexed ones replicate."""
     specs = []
     for name in _SHT_LEAF_NAMES:
+        if name == "_folded":
+            continue  # None for shardable transforms (see shard_sht guard)
         dim = _LAT_AXIS_OF_LEAF.get(name)
         if dim is None:
             specs.append(P())
@@ -56,6 +58,10 @@ def sht_partition_specs(axis: str = "lat"):
 def shard_sht(sht: SphericalHarmonicTransform, mesh: Mesh,
               axis: str = "lat"):
     """device_put the transform with lat-indexed tables sharded."""
+    if getattr(sht, "fold_parity", False):
+        raise NotImplementedError(
+            "fold_parity tables pair mirror latitudes on one device; "
+            "build the transform with fold_parity=False for lat-sharding")
     leaves, treedef = jax.tree.flatten(sht)
     shardings = [NamedSharding(mesh, s) for s in sht_partition_specs(axis)]
     placed = [jax.device_put(l, s) for l, s in zip(leaves, shardings)]

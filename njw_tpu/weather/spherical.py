@@ -285,7 +285,8 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
     radius = float(ic_params.pop("radius", EARTH_RADIUS))
     omega = float(ic_params.pop("omega", EARTH_OMEGA))
     nu4 = float(ic_params.pop("nu4", 0.0))
-    sht = SphericalHarmonicTransform(nlat, radius=radius)
+    fold = bool(ic_params.pop("fold_parity", False))
+    sht = SphericalHarmonicTransform(nlat, radius=radius, fold_parity=fold)
 
     # IC/output construction goes through jit with the transform as a
     # PYTREE ARGUMENT, and the prognostic state crosses every jit boundary

@@ -54,14 +54,17 @@ def main():
 
     sizes = [64, 128] if platform == "cpu" else [64, 128, 256, 512]
 
-    # (nlat, table_dtype) rows; bf16 tables only at the flagship T341
-    # size where the cores are table-read bound (VERDICT r3 weak #4)
-    cases = [(n, jnp.float32) for n in sizes]
+    # (nlat, table_dtype, fold_parity) rows; bf16 tables and the r5
+    # hemisphere parity fold A/B only at the flagship T341 size
+    cases = [(n, jnp.float32, False) for n in sizes]
     if platform != "cpu":
-        cases.append((512, jnp.bfloat16))
+        cases.append((512, jnp.bfloat16, False))
+        cases.append((512, jnp.float32, True))
+        cases.append((256, jnp.float32, True))
 
-    for nlat, tdt in cases:
-        sht = SphericalHarmonicTransform(nlat, table_dtype=tdt)
+    for nlat, tdt, fold in cases:
+        sht = SphericalHarmonicTransform(nlat, table_dtype=tdt,
+                                         fold_parity=fold)
         dt = jnp.float32(900.0 * 64 / nlat)
 
         # ICs built under jit and PACKED as (real, imag) float pairs at
@@ -116,6 +119,7 @@ def main():
                 print(json.dumps({
                     "core": name, "nlat": nlat, "trunc": sht.trunc,
                     "tables": str(jnp.dtype(tdt).name),
+                    "fold_parity": fold,
                     "ms_per_step": round(ms, 3),
                     "table_gb_per_step": round(gb, 3),
                     "table_gbps": round(gb / (ms / 1e3), 1),

@@ -104,6 +104,59 @@ class TestTransform:
         assert abs(float(sht.global_mean(g))) < 1e-6
 
 
+class TestParityFold:
+    """fold_parity=True runs every Legendre contraction as two half-size
+    hemisphere matmuls split by n parity (r5 MXU-occupancy lever); it
+    must be a pure relowering — same values to f32 rounding."""
+
+    @pytest.mark.parametrize("which",
+                             ["P", "H", "Pw", "Pw_over_c2", "Hw_over_c2"])
+    def test_stacked_transforms_match_unfolded(self, sht, which):
+        folded = SphericalHarmonicTransform(32, fold_parity=True)
+        st = rossby_haurwitz_swe(sht, EARTH_OMEGA)
+        a = jnp.stack([st.zeta, st.div, st.phi])
+        f0 = sht.syn_stack(a, which)
+        f1 = folded.syn_stack(a, which)
+        scale = float(jnp.max(jnp.abs(f0))) + 1e-30
+        np.testing.assert_allclose(np.asarray(f1) / scale,
+                                   np.asarray(f0) / scale,
+                                   rtol=0, atol=1e-5)
+        b0 = sht.anal_stack(f0, which)
+        b1 = folded.anal_stack(f0, which)
+        scale = float(jnp.max(jnp.abs(b0))) + 1e-30
+        np.testing.assert_allclose(np.asarray(b1) / scale,
+                                   np.asarray(b0) / scale,
+                                   rtol=0, atol=1e-5)
+
+    def test_swe_trajectory_matches_unfolded(self, sht):
+        from njw_tpu.weather.integrators import make_stepper
+
+        folded = SphericalHarmonicTransform(32, fold_parity=True)
+        s0 = rossby_haurwitz_swe(sht, EARTH_OMEGA)
+        outs = []
+        for t in (sht, folded):
+            stepper = make_stepper(
+                "rk4", lambda s, t=t: swe_tendencies(s, t, EARTH_OMEGA,
+                                                     nu4=1e15))
+            outs.append(_run(stepper, s0, 600.0, 20))
+        for name in ("zeta", "div", "phi"):
+            a = np.asarray(getattr(outs[0], name))
+            b = np.asarray(getattr(outs[1], name))
+            scale = np.abs(a).max() + 1e-30
+            np.testing.assert_allclose(b / scale, a / scale, rtol=0,
+                                       atol=1e-4, err_msg=name)
+
+    def test_lat_sharding_rejects_folded_tables(self):
+        from jax.sharding import Mesh
+
+        from njw_tpu.parallel.sphere import shard_sht
+
+        folded = SphericalHarmonicTransform(32, fold_parity=True)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("lat",))
+        with pytest.raises(NotImplementedError):
+            shard_sht(folded, mesh)
+
+
 class TestBVE:
     def test_rossby_haurwitz_exact_rotation(self, sht):
         """A single Y_n^m vorticity mode is an exact nonlinear BVE solution
