@@ -591,6 +591,29 @@ def _pe_tend_values(u, v, T, q, ps, *, L: int, dx: float, dy: float,
             jnp.stack(dq_l), dps)
 
 
+def _rk4_chain(s: tuple, tend, dt: float) -> tuple:
+    """The whole-RK4 accumulator chain over padded VALUE tuples (only
+    {s, current stage, acc} live — the SWE kernel's 3-live-state form).
+    Shared by every fused whole-RK4 PE kernel variant."""
+    def axpy(c, t_, s_):
+        return tuple(si + c * ti for si, ti in zip(s_, t_))
+
+    half = 0.5 * dt
+    t1 = tend(*s)
+    s1 = axpy(half, t1, s)
+    acc = tuple(a - b for a, b in zip(s1, s))          # -s + s1
+    t2 = tend(*s1)
+    s2 = axpy(half, t2, s)
+    acc = tuple(a + 2.0 * b for a, b in zip(acc, s2))
+    t3 = tend(*s2)
+    s3 = axpy(dt, t3, s)
+    acc = tuple(a + b for a, b in zip(acc, s3))
+    t4 = tend(*s3)
+    third = 1.0 / 3.0
+    sixth = dt / 6.0
+    return tuple(a * third + sixth * t_ for a, t_ in zip(acc, t4))
+
+
 def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
                    f: float, dt: float, has_phi_s: bool, xpad: int = 64):
     """Whole-RK4 PE kernel: the entire step in ONE HBM round-trip.
@@ -650,25 +673,7 @@ def _pe_rk4_kernel(*refs, L: int, by: int, bx: int, dx: float, dy: float,
 
     tend = functools.partial(_pe_tend_values, L=L, dx=dx, dy=dy, f=f,
                              phi_s=phi_s)
-
-    def axpy(c, t_, s_):
-        return tuple(si + c * ti for si, ti in zip(s_, t_))
-
-    s = (u, v, T, q, ps)
-    half = 0.5 * dt
-    t1 = tend(*s)
-    s1 = axpy(half, t1, s)
-    acc = tuple(a - b for a, b in zip(s1, s))          # -s + s1
-    t2 = tend(*s1)
-    s2 = axpy(half, t2, s)
-    acc = tuple(a + 2.0 * b for a, b in zip(acc, s2))
-    t3 = tend(*s2)
-    s3 = axpy(dt, t3, s)
-    acc = tuple(a + b for a, b in zip(acc, s3))
-    t4 = tend(*s3)
-    third = 1.0 / 3.0
-    sixth = dt / 6.0
-    out = tuple(a * third + sixth * t_ for a, t_ in zip(acc, t4))
+    out = _rk4_chain((u, v, T, q, ps), tend, dt)
 
     ou[:] = out[0][:, h4:h4 + by, xpad:xpad + bx]
     ov[:] = out[1][:, h4:h4 + by, xpad:xpad + bx]
@@ -1347,3 +1352,122 @@ def pe_stage_pallas_local2d(
         base.u, base.v, base.T, base.q, base.ps,
     )
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
+
+
+def _pe_rk4_carry2d_kernel(*refs, L: int, by: int, lx: int, dx: float,
+                           dy: float, f: float, dt: float, xpad: int = 64):
+    """Whole-RK4 kernel over a PERSISTENT 2-D-padded carry block.
+
+    refs: 3 per field (center (L, by, W), top/bottom 8-row slabs
+    (L, 8, W)) with W = lx + 256 — full padded width, so the x halo and
+    corners ride INSIDE the row blocks (no separate slab refs, no
+    per-step XLA view copies). The compute frame slices cols
+    [128-xpad, 128+lx+xpad) and rows top[-4:] / bot[:4] in-register.
+    Outputs are full-width blocks: computed interior at cols
+    [128, 128+lx), ONES in the halo cols (finite under the ps log; the
+    4 consumed lanes are ppermute-refreshed before every read).
+    """
+    (u_c, u_t, u_b, v_c, v_t, v_b, T_c, T_t, T_b,
+     q_c, q_t, q_b, ps_c, ps_t, ps_b) = refs[:15]
+    ou, ov, oT, oq, ops_ = refs[15:]
+    lo = 128 - xpad
+    hi = 128 + lx + xpad
+
+    def frame3(c, t, b):
+        return jnp.concatenate(
+            [t[:, -4:, lo:hi], c[:, :, lo:hi], b[:, :4, lo:hi]], axis=1)
+
+    def frame2(c, t, b):
+        return jnp.concatenate(
+            [t[-4:, lo:hi], c[:, lo:hi], b[:4, lo:hi]], axis=0)
+
+    s = (frame3(u_c, u_t, u_b), frame3(v_c, v_t, v_b),
+         frame3(T_c, T_t, T_b), frame3(q_c, q_t, q_b),
+         frame2(ps_c, ps_t, ps_b))
+    tend = functools.partial(_pe_tend_values, L=L, dx=dx, dy=dy, f=f)
+    out = _rk4_chain(s, tend, dt)
+
+    def put(ref, val, nd3: bool):
+        core = (val[:, 4:4 + by, xpad:xpad + lx] if nd3
+                else val[4:4 + by, xpad:xpad + lx])
+        pad = ((0, 0), (0, 0), (128, 128)) if nd3 else ((0, 0), (128, 128))
+        ref[:] = jnp.pad(core, pad, constant_values=1.0)
+
+    put(ou, out[0], True)
+    put(ov, out[1], True)
+    put(oT, out[2], True)
+    put(oq, out[3], True)
+    put(ops_, out[4], False)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ly", "lx", "L", "by", "dt", "coriolis_f", "dx", "dy",
+                     "interpret"),
+)
+def pe_rk4_pallas_carry2d(
+    u_p, v_p, T_p, q_p, ps_p, *, ly: int, lx: int, L: int, by: int,
+    dt: float, coriolis_f: float = 0.0, dx: float = 1.0, dy: float = 1.0,
+    interpret: bool = False,
+) -> tuple:
+    """Whole-RK4 fused PE step on a PERSISTENT 2-D-padded local block.
+
+    The ('y','x')-mesh counterpart of :func:`pe_rk4_pallas_carry`
+    (VERDICT r4 #3 / ROADMAP "2-D carry" item): 3-D fields are
+    (L, ly + 2*by, lx + 256), ps (ly + 2*by, lx + 256); interior rows
+    [by, by+ly), cols [128, 128+lx). The caller ppermutes 4-lane x bands
+    into cols [124,128) / [128+lx, 128+lx+4) of the interior rows, then
+    4-row y slabs (full padded width — corners ride along) into rows
+    [by-4, by) / [by+ly, by+ly+4), each with static-offset
+    dynamic_update_slice — no per-step concat or view copy of the
+    (4L+1)-plane state (the documented r4 trade-off this removes).
+
+    Returns the padded (u, v, T, q, ps) for the next carry; halo cols
+    are ones except the refreshed bands, halo rows garbage except the
+    refreshed bands (never consumed: the kernel slices t[-4:]/b[:4]).
+    """
+    if ly % by or lx % 128 or by % 8:
+        raise ValueError(f"ly={ly} % by={by} != 0 or lx % 128 != 0")
+    r = by // 8
+    W = lx + 2 * LANE
+
+    kern = functools.partial(
+        _pe_rk4_carry2d_kernel, L=L, by=by, lx=lx, dx=float(dx),
+        dy=float(dy), f=float(coriolis_f), dt=float(dt),
+    )
+
+    c3 = pl.BlockSpec((L, by, W), lambda i: (0, i + 1, 0),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, W), lambda i: (0, (i + 1) * r - 1, 0),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, W), lambda i: (0, (i + 1) * r + r, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, W), lambda i: (i + 1, 0),
+                      memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, W), lambda i: ((i + 1) * r - 1, 0),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, W), lambda i: ((i + 1) * r + r, 0),
+                      memory_space=pltpu.VMEM)
+
+    sh3 = jax.ShapeDtypeStruct((L, ly + 2 * by, W), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ly + 2 * by, W), jnp.float32)
+    # frame-based estimate at the shard width + the extra 256-lane I/O
+    vmem_limit = min(
+        _rk4_vmem_estimate(L, by, lx)
+        + (4 * L + 1) * (by + 16) * 2 * LANE * 4 * 4 + (8 << 20),
+        100 << 20)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(ly // by,),
+        in_specs=[c3, t3, b3] * 4 + [c2, t2, b2],
+        out_specs=(c3, c3, c3, c3, c2),
+        out_shape=(sh3, sh3, sh3, sh3, sh2),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(vmem_limit)),
+        interpret=interpret,
+    )(
+        u_p, u_p, u_p, v_p, v_p, v_p, T_p, T_p, T_p,
+        q_p, q_p, q_p, ps_p, ps_p, ps_p,
+    )
+    return out

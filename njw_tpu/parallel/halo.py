@@ -886,14 +886,20 @@ def sharded_swe_step_pallas_2d(
 def sharded_pe_step_pallas_fused_2d(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     n_steps: int = 1, interpret: bool = False, donate: bool = False,
+    carry: bool = True,
 ):
     """Multi-chip PE with the WHOLE-RK4 fused kernel over a ('y','x')
     mesh (the BASELINE config-5 decomposition, r4): ONE exchange + ONE
-    kernel pass per step vs the stage path's four of each. Each step
-    ppermutes 128-lane x slabs carrying the 4 needed lanes at the
-    interior-adjacent edge, then 8-row y slabs of the x-padded block
-    carrying the 4 needed rows (corners ride the x-padded columns), and
-    runs pe_rk4_pallas_local2d on the (L, ly+16, lx+256) padded fields.
+    kernel pass per step vs the stage path's four of each.
+
+    carry=True (r5 default): the 2-D-padded block IS the scan carry
+    (pe_rk4_pallas_carry2d) — each step ppermutes 4-lane x bands and
+    4-row full-width y slabs into the halo bands with static-offset
+    updates; no per-step concat/view copy of the (4L+1)-plane state
+    (closes the r4 ROADMAP "2-D carry" item; the 1-D paths' 0.40->0.32
+    precedent). carry=False keeps the r4 concat form: per step,
+    ppermute 128-lane x slabs then 8-row y slabs and rebuild the
+    (L, ly+16, lx+256) padded fields for pe_rk4_pallas_local2d.
 
     Falls back to the 4-stage path (sharded_pe_step_pallas_2d) when the
     shard width's full-width strips exceed VMEM.
@@ -901,7 +907,8 @@ def sharded_pe_step_pallas_fused_2d(
     import numbers
 
     from njw_tpu.ops.pe_stencil import (
-        pe_rk4_pallas_local2d, pe_rk4_pick_by_2d,
+        LANE, pe_rk4_pallas_carry2d, pe_rk4_pallas_local2d,
+        pe_rk4_pick_by_2d,
     )
     from njw_tpu.weather.primitive import PEState
 
@@ -917,12 +924,63 @@ def sharded_pe_step_pallas_fused_2d(
     if ly % 8 or lx % 128:
         raise ValueError("per-shard block must be a multiple of (8, 128)")
     L = grid.levels
-    if pe_rk4_pick_by_2d(L, ly, lx) is None:  # same pick the kernel uses
+    by2d = pe_rk4_pick_by_2d(L, ly, lx)
+    if by2d is None or ly % by2d:  # same pick the kernel uses
         return sharded_pe_step_pallas_2d(
             grid, params, mesh, dt=dt, n_steps=n_steps,
             interpret=interpret, donate=donate)
     dt = float(dt)
     f = float(params.coriolis_f)
+
+    if carry:
+        by = by2d
+
+        def refresh(a):
+            """x bands (interior rows) then full-width y slabs — the y
+            slabs carry the x-refreshed corner lanes."""
+            nd = a.ndim
+            at = (0,) * (nd - 2)
+            core = a[..., by:by + ly, LANE:LANE + lx]
+            left4 = _ring_shift(core[..., :, -4:], "x", +1)
+            right4 = _ring_shift(core[..., :, :4], "x", -1)
+            a = lax.dynamic_update_slice(a, left4, at + (by, LANE - 4))
+            a = lax.dynamic_update_slice(a, right4, at + (by, LANE + lx))
+            top4 = _ring_shift(a[..., by + ly - 4:by + ly, :], "y", +1)
+            bot4 = _ring_shift(a[..., by:by + 4, :], "y", -1)
+            a = lax.dynamic_update_slice(a, top4, at + (by - 4, 0))
+            return lax.dynamic_update_slice(a, bot4, at + (by + ly, 0))
+
+        def to_carry(a):
+            """ONES filler everywhere (the ps halo cols feed log)."""
+            nd = a.ndim
+            one = lambda sh: jnp.ones(sh, a.dtype)
+            a = jnp.concatenate(
+                [one(a.shape[:-1] + (LANE,)), a,
+                 one(a.shape[:-1] + (LANE,))], axis=-1)
+            row = a.shape[:-2] + (by,) + a.shape[-1:]
+            return jnp.concatenate([one(row), a, one(row)], axis=-2)
+
+        def local_steps(state: PEState) -> PEState:
+            def body(c, _):
+                pu, pv, pT, pq, pps = (refresh(p) for p in c)
+                return pe_rk4_pallas_carry2d(
+                    pu, pv, pT, pq, pps, ly=ly, lx=lx, L=L, by=by,
+                    dt=dt, coriolis_f=f, dx=float(grid.dx),
+                    dy=float(grid.dy), interpret=interpret), None
+
+            carry0 = tuple(to_carry(a) for a in
+                           (state.u, state.v, state.T, state.q, state.ps))
+            (pu, pv, pT, pq, pps), _ = lax.scan(body, carry0, None,
+                                                length=n_steps)
+            sl = lambda a: a[..., by:by + ly, LANE:LANE + lx]
+            return PEState(u=sl(pu), v=sl(pv), T=sl(pT), q=sl(pq),
+                           ps=sl(pps))
+
+        p3 = P(None, "y", "x")
+        spec = PEState(u=p3, v=p3, T=p3, q=p3, ps=P("y", "x"))
+        step_fn = jax.shard_map(local_steps, mesh=mesh, in_specs=(spec,),
+                                out_specs=spec, check_vma=False)
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
     def pad_2d4(a):
         """x: 128-lane slabs with the 4 true lanes at the

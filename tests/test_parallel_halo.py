@@ -337,6 +337,29 @@ class TestShardedPEFusedRK4:
             )
 
 
+    def test_fused_2d_concat_form_matches(self):
+        """carry=False keeps the r4 concat form — both forms must match
+        single-device (the TPU A/B needs both live)."""
+        from njw_tpu.parallel.halo import sharded_pe_step_pallas_fused_2d
+        from njw_tpu.weather.primitive import pe_initial_state
+
+        grid = GridSpec(nx=256, ny=32, levels=3, dx=1e5, dy=1e5)
+        params = PhysicsParams(coriolis_f=1e-4)
+        s0 = pe_initial_state(grid, u_jet=15.0, perturb=0.5)
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("y", "x"))
+        outs = []
+        for carry in (True, False):
+            step = sharded_pe_step_pallas_fused_2d(
+                grid, params, mesh, dt=30.0, n_steps=6, interpret=True,
+                carry=carry)
+            outs.append(step(sharded_state(s0, mesh)))
+        for name in ("u", "v", "T", "q", "ps"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(outs[0], name)),
+                np.asarray(getattr(outs[1], name)),
+                rtol=1e-4, atol=1e-5, err_msg=name,
+            )
+
     def test_fused_2d_vmem_fallback_matches(self, monkeypatch):
         """When no strip height fits VMEM, the fused 2-D constructor must
         fall back to the 4-stage path and still match single-device
