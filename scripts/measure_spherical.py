@@ -10,6 +10,7 @@ are ~1 GB and must be runtime operands, not HLO constants.
 
 Prints JSON lines {core, nlat, trunc, ms_per_step, platform}.
 """
+import argparse
 import json
 import os
 import sys
@@ -34,6 +35,12 @@ def main():
         EARTH_OMEGA, bve_tendencies, pack_state, rossby_haurwitz_bve,
         rossby_haurwitz_swe, swe_tendencies, unpack_state,
     )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", default=None,
+                    help="comma list nlat:dtype:fold, e.g. "
+                         "'512:f32:0,512:f32:1' (default: full sweep)")
+    cargs = ap.parse_args()
 
     platform = jax.devices()[0].platform
     ax = jax.tree.map  # pytree axpy
@@ -61,6 +68,12 @@ def main():
         cases.append((512, jnp.bfloat16, False))
         cases.append((512, jnp.float32, True))
         cases.append((256, jnp.float32, True))
+
+    if cargs.cases:
+        dmap = {"f32": jnp.float32, "bf16": jnp.bfloat16}
+        cases = [(int(n), dmap[d], bool(int(f)))
+                 for n, d, f in (c.split(":")
+                                 for c in cargs.cases.split(","))]
 
     for nlat, tdt, fold in cases:
         sht = SphericalHarmonicTransform(nlat, table_dtype=tdt,

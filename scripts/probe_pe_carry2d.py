@@ -1,0 +1,115 @@
+"""TPU A/B: 2-D sharded fused-PE forms on a (1,1) mesh proxy.
+
+Same-session comparison (VERDICT r4 #3): carry form
+(pe_rk4_pallas_carry2d — persistent 2-D-padded carry, no per-step
+concat) vs the r4 concat form (pad_2d4 + pe_rk4_pallas_local2d) vs the
+bare single-chip fused kernel at the same shape. The (1,1) mesh is the
+r4 sharding-overhead proxy: ppermute is a self-copy, so the delta vs
+the bare kernel is pure decomposition overhead.
+
+Shape: 1024x512x20 (config-5 aspect at L=20 so full-width strips fit
+one chip's VMEM).
+
+Usage: python scripts/probe_pe_carry2d.py [--steps 40]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    from njw_tpu.parallel.halo import (
+        sharded_pe_step_pallas_fused_2d, sharded_state,
+    )
+    from njw_tpu.weather.grid import GridSpec, PhysicsParams
+    from njw_tpu.weather.primitive import pe_initial_state
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=40)
+    args = ap.parse_args()
+    N = args.steps
+
+    ny, nx, L = 1024, 512, 20
+    grid = GridSpec(nx=nx, ny=ny, levels=L, dx=1e5, dy=1e5)
+    params = PhysicsParams(coriolis_f=1e-4)
+    s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("y", "x"))
+    s0s = sharded_state(s0, mesh)
+
+    def sync(s):
+        _ = np.asarray(jax.tree.leaves(s)[-1][:4, :4])
+
+    ref = None
+    for label, kw in (("carry2d", dict(carry=True)),
+                      ("concat2d", dict(carry=False))):
+        rec = {"probe": label, "shape": f"{ny}x{nx}x{L}"}
+        try:
+            r1 = sharded_pe_step_pallas_fused_2d(
+                grid, params, mesh, dt=20.0, n_steps=N, **kw)
+            r2 = sharded_pe_step_pallas_fused_2d(
+                grid, params, mesh, dt=20.0, n_steps=2 * N, **kw)
+            out = r1(s0s)
+            sync(out)
+            if ref is None:
+                ref = out
+            else:
+                md = float(jnp.max(jnp.abs(out.ps - ref.ps)))
+                rec["maxdiff_vs_carry"] = md
+            sync(r2(s0s))
+            t0 = time.perf_counter(); sync(r1(s0s))
+            t1 = time.perf_counter(); sync(r2(s0s))
+            t2 = time.perf_counter()
+            ms = ((t2 - t1) - (t1 - t0)) / N * 1e3
+            rec["ms_per_step"] = round(ms, 3)
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        print(json.dumps(rec), flush=True)
+
+    # bare single-chip fused kernel, same shape (the overhead-free floor)
+    from njw_tpu.ops.pe_stencil import pe_rk4_step_pallas
+
+    def make_scan(n):
+        @jax.jit
+        def scan(s):
+            def body(c, _):
+                return pe_rk4_step_pallas(c, grid=grid, dt=20.0,
+                                          coriolis_f=1e-4), None
+            out, _ = jax.lax.scan(body, s, None, length=n)
+            return out
+        return scan
+
+    try:
+        r1, r2 = make_scan(N), make_scan(2 * N)
+        sync(r1(s0))
+        sync(r2(s0))
+        t0 = time.perf_counter(); sync(r1(s0))
+        t1 = time.perf_counter(); sync(r2(s0))
+        t2 = time.perf_counter()
+        ms = ((t2 - t1) - (t1 - t0)) / N * 1e3
+        print(json.dumps({"probe": "bare_fused_kernel",
+                          "ms_per_step": round(ms, 3)}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"probe": "bare_fused_kernel",
+                          "error": str(e)[:300]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
