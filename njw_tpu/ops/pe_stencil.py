@@ -771,14 +771,18 @@ def pe_rk4_fused_supported(grid: GridSpec, params: PhysicsParams) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "dt", "coriolis_f", "by", "bx", "interpret",
-                     "xpad"),
+                     "xpad", "vmem_cap_mb"),
 )
 def pe_rk4_step_pallas(
     s: PEState, *, grid: GridSpec, dt: float, coriolis_f: float = 0.0,
     by: Optional[int] = None, bx: Optional[int] = None, phi_s=None,
     interpret: bool = False, xpad: int = 64,
+    vmem_cap_mb: int = 100,
 ) -> PEState:
-    """One whole fused RK4 PE step (see _pe_rk4_kernel)."""
+    """One whole fused RK4 PE step (see _pe_rk4_kernel). vmem_cap_mb:
+    scoped-VMEM ceiling for the pallas_call — the default 100 MB is the
+    calibrated safe cap; probes may raise it toward the 128 MB physical
+    to test blocks the model rejects (r5: the (32,512) config-5 pick)."""
     L, ny, nx = grid.levels, grid.ny, grid.nx
     if by is None or bx is None:
         from njw_tpu.platform.device import detect
@@ -802,7 +806,7 @@ def pe_rk4_step_pallas(
     out_c2 = pl.BlockSpec((by, bx), lambda i, j: (i, j),
                           memory_space=pltpu.VMEM)
     vmem_limit = min(_rk4_vmem_estimate(L, by, bx, xpad) + (8 << 20),
-                     100 << 20)
+                     int(vmem_cap_mb) << 20)
     phis_specs: list = []
     phis_ops: list = []
     if phi_s is not None:

@@ -57,6 +57,20 @@ def main():
     def sync(s):
         _ = np.asarray(jax.tree.leaves(s)[-1][:4, :4])
 
+    def chain_time(call, arg, k3=3):
+        def chain(k):
+            t0 = time.perf_counter()
+            s = arg
+            for _ in range(k):
+                s = call(s)
+            sync(s)
+            return time.perf_counter() - t0
+
+        chain(1)  # warm
+        t1 = chain(1)
+        t3 = chain(k3)
+        return (t3 - t1) / (k3 - 1) / N * 1e3
+
     ref = None
     for label, kw in (("carry2d", dict(carry=True)),
                       ("concat2d", dict(carry=False))):
@@ -64,21 +78,16 @@ def main():
         try:
             r1 = sharded_pe_step_pallas_fused_2d(
                 grid, params, mesh, dt=20.0, n_steps=N, **kw)
-            r2 = sharded_pe_step_pallas_fused_2d(
-                grid, params, mesh, dt=20.0, n_steps=2 * N, **kw)
+            t0 = time.perf_counter()
             out = r1(s0s)
             sync(out)
+            rec["compile_plus_first_s"] = round(time.perf_counter() - t0, 1)
             if ref is None:
                 ref = out
             else:
                 md = float(jnp.max(jnp.abs(out.ps - ref.ps)))
                 rec["maxdiff_vs_carry"] = md
-            sync(r2(s0s))
-            t0 = time.perf_counter(); sync(r1(s0s))
-            t1 = time.perf_counter(); sync(r2(s0s))
-            t2 = time.perf_counter()
-            ms = ((t2 - t1) - (t1 - t0)) / N * 1e3
-            rec["ms_per_step"] = round(ms, 3)
+            rec["ms_per_step_driverstyle"] = round(chain_time(r1, s0s), 3)
         except Exception as e:  # noqa: BLE001
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         print(json.dumps(rec), flush=True)
@@ -97,15 +106,11 @@ def main():
         return scan
 
     try:
-        r1, r2 = make_scan(N), make_scan(2 * N)
-        sync(r1(s0))
-        sync(r2(s0))
-        t0 = time.perf_counter(); sync(r1(s0))
-        t1 = time.perf_counter(); sync(r2(s0))
-        t2 = time.perf_counter()
-        ms = ((t2 - t1) - (t1 - t0)) / N * 1e3
+        r1 = make_scan(N)
+        ms = chain_time(r1, s0)
         print(json.dumps({"probe": "bare_fused_kernel",
-                          "ms_per_step": round(ms, 3)}), flush=True)
+                          "ms_per_step_driverstyle": round(ms, 3)}),
+              flush=True)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"probe": "bare_fused_kernel",
                           "error": str(e)[:300]}), flush=True)

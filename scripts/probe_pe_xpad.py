@@ -8,11 +8,13 @@ and the (by+8)(bx+2*xpad)/(by*bx) pad-compute factor at BASELINE
 config 5 would fall 1.875 -> 1.328 (xpad=8) — predicted ~41 ms/step at
 the measured ~5.5G padded-cells/s rate vs the current 57.6.
 
-Each candidate costs exactly TWO compiles (an N-step and a 2N-step scan
-of the same jitted step); the first candidate is the xpad=64 reference
-and later candidates' N-step outputs are compared against its output
-on-chip (correctness piggybacks on the timing executables). Differential
-timing t(2N)-t(N), D2H-hard-synced, exact-length warmups (CLAUDE.md).
+Each candidate costs exactly ONE compile (an N-step scan): timing is
+the chained-call differential (t(3 calls) - t(1 call)) / 2 like
+bench.py — the ~43 ms per-invocation overhead stays in (identical for
+every candidate, <3% at N>=25), which halves the multi-hour remote
+compile bill of the scan-length method at config-5 kernel sizes.
+Correctness piggybacks: later candidates' N-step outputs are compared
+on-chip against the first (reference) candidate's.
 
 Usage: python scripts/probe_pe_xpad.py --config 4|5 \
          [--cands "by,bx,xpad;..."] [--steps N]
@@ -50,10 +52,10 @@ def run_probe(nx, ny, L, steps, candidates):
     s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
     s0 = jax.device_put(s0)
 
-    def make_scan(by, bx, xpad, n):
+    def make_scan(by, bx, xpad, n, cap=100):
         step = functools.partial(
             pe_rk4_step_pallas, grid=grid, dt=dt, coriolis_f=1e-4,
-            by=by, bx=bx, xpad=xpad)
+            by=by, bx=bx, xpad=xpad, vmem_cap_mb=cap)
 
         @jax.jit
         def scan(s):
@@ -67,14 +69,15 @@ def run_probe(nx, ny, L, steps, candidates):
         _ = np.asarray(s.ps[:4, :4])
 
     ref_out = None
-    for by, bx, xpad in candidates:
+    for cand in candidates:
+        by, bx, xpad = cand[:3]
+        cap = cand[3] if len(cand) > 3 else 100
         rec = {"config": f"PE {nx}x{ny}x{L}", "by": by, "bx": bx,
-               "xpad": xpad, "steps": steps,
+               "xpad": xpad, "steps": steps, "vmem_cap_mb": cap,
                "pad_factor": round((by + 8) * (bx + 2 * xpad)
                                    / (by * bx), 3)}
         try:
-            scn = make_scan(by, bx, xpad, steps)
-            scn2 = make_scan(by, bx, xpad, 2 * steps)
+            scn = make_scan(by, bx, xpad, steps, cap)
             t0 = time.perf_counter()
             out_n = scn(s0)
             sync(out_n)
@@ -86,15 +89,23 @@ def run_probe(nx, ny, L, steps, candidates):
                          float(jnp.max(jnp.abs(out_n.u - ref_out.u))))
                 rec["maxdiff_vs_ref"] = md
                 if not (np.isfinite(md) and md < 1e-2):
-                    rec["error"] = "MISMATCH vs xpad=64"
+                    rec["error"] = "MISMATCH vs reference candidate"
                     print(json.dumps(rec), flush=True)
                     continue
-            sync(scn2(s0))  # warm 2N
-            t0 = time.perf_counter(); sync(scn(s0))
-            t1 = time.perf_counter(); sync(scn2(s0))
-            t2 = time.perf_counter()
-            ms = ((t2 - t1) - (t1 - t0)) / steps * 1e3
-            rec["ms_per_step"] = round(ms, 3)
+
+            def chain(k):
+                t0 = time.perf_counter()
+                s = s0
+                for _ in range(k):
+                    s = scn(s)
+                sync(s)
+                return time.perf_counter() - t0
+
+            chain(1)  # warm
+            t1 = chain(1)
+            t3 = chain(3)
+            ms = (t3 - t1) / 2.0 / steps * 1e3
+            rec["ms_per_step_driverstyle"] = round(ms, 3)
         except Exception as e:  # compile failures are data, not crashes
             rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
         print(json.dumps(rec), flush=True)
