@@ -34,13 +34,24 @@ from njw_tpu.weather.integrators import Stepper, _axpy
 
 
 def semi_implicit_swe(
-    tendency, *, grid: GridSpec, params: PhysicsParams
+    tendency, *, grid: GridSpec, params: PhysicsParams, order: int = 1
 ) -> Stepper:
+    """order=2 (opt-in, r5): two-time-level predictor-corrector — a CN
+    half-step predicts the midpoint, the corrector evaluates the
+    nonlinear terms THERE (implicit-midpoint splitting). Measured
+    (BENCH_NOTES r5): halves the slow-field error at moderate dt
+    (PE T-error 0.12 -> 0.09 at dt=240) but does NOT pay at the large
+    dt where semi-implicit earns its keep (dt=900: 0.26 -> 0.36, and
+    2x nonlinear evaluations/step) — wave-phase distortion, intrinsic
+    to implicit wave treatment at omega*dt >~ 1, dominates there
+    regardless of splitting order. Default stays order=1."""
     if grid.bc != "periodic":
         raise NotImplementedError(
             "semi-implicit integrator requires periodic boundaries "
             "(spectral Helmholtz solve)"
         )
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     g = params.gravity
     H = params.mean_depth
     kx = fd_wavenumbers(grid.nx, grid.dx, "central")[None, :]
@@ -54,13 +65,13 @@ def semi_implicit_swe(
             h=-H * (d_dx(s.u, grid.dx, grid.bc) + d_dy(s.v, grid.dy, grid.bc)),
         )
 
-    def step(carry, s: WeatherState, dt):
-        a = 0.5 * dt
-        t_full = tendency(s)
-        l_s = linear(s)
-        nonlinear = jax.tree.map(lambda tf, lf: tf - lf, t_full, l_s)
-        # s* = s + dt*N + a*L s
-        s_star = _axpy(a, l_s, _axpy(dt, nonlinear, s))
+    def nonlin(s: WeatherState) -> WeatherState:
+        return jax.tree.map(lambda tf, lf: tf - lf, tendency(s), linear(s))
+
+    def advance(s: WeatherState, n_val: WeatherState, dt_eff):
+        """CN over dt_eff: (I - a L) s' = s + dt_eff*N + a*L s."""
+        a = 0.5 * dt_eff
+        s_star = _axpy(a, linear(s), _axpy(dt_eff, n_val, s))
 
         u_hat = jnp.fft.fft2(s_star.u)
         v_hat = jnp.fft.fft2(s_star.v)
@@ -72,12 +83,18 @@ def semi_implicit_swe(
         v_new_hat = v_hat - a * g * 1j * ky * h_new_hat
 
         dtype = s.u.dtype
-        s_new = WeatherState(
+        return WeatherState(
             u=jnp.real(jnp.fft.ifft2(u_new_hat)).astype(dtype),
             v=jnp.real(jnp.fft.ifft2(v_new_hat)).astype(dtype),
             h=jnp.real(jnp.fft.ifft2(h_new_hat)).astype(dtype),
         )
-        return carry, s_new
+
+    def step(carry, s: WeatherState, dt):
+        n0 = nonlin(s)
+        if order == 1:
+            return carry, advance(s, n0, dt)
+        s_mid = advance(s, n0, 0.5 * dt)
+        return carry, advance(s, nonlin(s_mid), dt)
 
     return Stepper(lambda s: (), step, "semi_implicit", 2)
 
@@ -163,7 +180,7 @@ def _pe_vertical_matrices(L: int, t_ref: float, ps_ref: float):
 
 def semi_implicit_pe(
     tendency, *, grid: GridSpec, params: PhysicsParams,
-    t_ref: float = 300.0, ps_ref: float = 1013.25,
+    t_ref: float = 300.0, ps_ref: float = 1013.25, order: int = 1,
 ) -> Stepper:
     """Semi-implicit stepper for the primitive-equations core.
 
@@ -219,12 +236,13 @@ def semi_implicit_pe(
             ps=-ps_ref * dsig * jnp.sum(D, axis=0),
         )
 
-    def step(carry, s: PEState, dt):
-        a = 0.5 * dt
-        t_full = tendency(s)
-        l_s = linear(s)
-        nonlinear = jax.tree.map(lambda tf, lf: tf - lf, t_full, l_s)
-        s_star = _axpy(a, l_s, _axpy(dt, nonlinear, s))
+    def nonlin(s: PEState) -> PEState:
+        return jax.tree.map(lambda tf, lf: tf - lf, tendency(s), linear(s))
+
+    def advance(s: PEState, n_val: PEState, dt_eff):
+        """CN over dt_eff: (I - a L) s' = s + dt_eff*N + a*L s."""
+        a = 0.5 * dt_eff
+        s_star = _axpy(a, linear(s), _axpy(dt_eff, n_val, s))
 
         u_h = jnp.fft.fft2(s_star.u)
         v_h = jnp.fft.fft2(s_star.v)
@@ -246,8 +264,16 @@ def semi_implicit_pe(
 
         dtype = s.u.dtype
         inv = lambda f: jnp.real(jnp.fft.ifft2(f)).astype(dtype)
-        s_new = PEState(u=inv(u_new), v=inv(v_new), T=inv(T_new),
-                        q=s_star.q, ps=inv(ps_new))
-        return carry, s_new
+        return PEState(u=inv(u_new), v=inv(v_new), T=inv(T_new),
+                       q=s_star.q, ps=inv(ps_new))
+
+    def step(carry, s: PEState, dt):
+        n0 = nonlin(s)
+        if order == 1:
+            return carry, advance(s, n0, dt)
+        # two-time-level predictor-corrector (r5, opt-in): nonlinear
+        # terms at the CN-predicted midpoint (see semi_implicit_swe)
+        s_mid = advance(s, n0, 0.5 * dt)
+        return carry, advance(s, nonlin(s_mid), dt)
 
     return Stepper(lambda s: (), step, "semi_implicit", 2)

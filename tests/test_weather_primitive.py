@@ -462,8 +462,10 @@ class TestPESemiImplicit:
 
         sim = Simulation.from_config(self._cfg(600.0), "resting")
         sim.step(10)
-        assert float(jnp.max(jnp.abs(sim.state.u))) < 1e-4
-        assert float(jnp.max(jnp.abs(sim.state.v))) < 1e-4
+        # bound is f32 FFT-roundtrip rounding (2 solves/step since the
+        # r5 order-2 predictor-corrector), not physical drift
+        assert float(jnp.max(jnp.abs(sim.state.u))) < 3e-4
+        assert float(jnp.max(jnp.abs(sim.state.v))) < 3e-4
 
     def test_small_dt_consistency_with_rk4(self):
         """At dt << CFL both methods integrate the same ODE: states agree
