@@ -1,0 +1,146 @@
+"""Tiny-shape lowering probe for the carry2d kernel frame construction.
+
+The full carry2d kernel was rejected by the Mosaic toolchain at
+1024x512x20. This compiles three frame-construction variants at a tiny
+shape (L=4, 64x256 shard) to pinpoint the failing lowering:
+
+  a) offset64  — the failing kernel's form: frame = block[..., 64:64+lx+128]
+     (lane slice at offset 64, aligned width)
+  b) xpad128   — full-width frame, no lane slicing in the frame; output
+     rebuilt as concat([ones(128), core(offset 128), ones(128)])
+  c) off64_out128 — offset-64 frame (a) but the xpad128-style output
+
+Prints one JSON line per variant: compiled + maxdiff vs the interpret
+run of the same variant.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    from njw_tpu.ops.pe_stencil import _pe_tend_values, _rk4_chain
+
+    L, ly, lx, by = 4, 64, 256, 16
+    W = lx + 256
+    r = by // 8
+    dt, dx, dy, f = 20.0, 1e5, 1e5, 1e-4
+
+    def kern(u_c, u_t, u_b, v_c, v_t, v_b, T_c, T_t, T_b,
+             q_c, q_t, q_b, ps_c, ps_t, ps_b,
+             ou, ov, oT, oq, ops_, *, xpad, out128):
+        lo = 128 - xpad
+        hi = 128 + lx + xpad
+
+        def frame3(c, t, b):
+            if xpad == 128:
+                return jnp.concatenate([t[:, -4:, :], c[:], b[:, :4, :]], 1)
+            return jnp.concatenate(
+                [t[:, -4:, lo:hi], c[:, :, lo:hi], b[:, :4, lo:hi]], axis=1)
+
+        def frame2(c, t, b):
+            if xpad == 128:
+                return jnp.concatenate([t[-4:, :], c[:], b[:4, :]], 0)
+            return jnp.concatenate(
+                [t[-4:, lo:hi], c[:, lo:hi], b[:4, lo:hi]], axis=0)
+
+        s = (frame3(u_c, u_t, u_b), frame3(v_c, v_t, v_b),
+             frame3(T_c, T_t, T_b), frame3(q_c, q_t, q_b),
+             frame2(ps_c, ps_t, ps_b))
+        tend = functools.partial(_pe_tend_values, L=L, dx=dx, dy=dy, f=f)
+        out = _rk4_chain(s, tend, dt)
+
+        def put(ref, val, nd3):
+            if out128:
+                core = (val[:, 4:4 + by, xpad:xpad + lx] if nd3
+                        else val[4:4 + by, xpad:xpad + lx])
+                ones = jnp.ones(core.shape[:-1] + (128,), core.dtype)
+                ref[:] = jnp.concatenate([ones, core, ones], axis=-1)
+            else:
+                core = (val[:, 4:4 + by, xpad:xpad + lx] if nd3
+                        else val[4:4 + by, xpad:xpad + lx])
+                pad = (((0, 0), (0, 0), (128, 128)) if nd3
+                       else ((0, 0), (128, 128)))
+                ref[:] = jnp.pad(core, pad, constant_values=1.0)
+
+        put(ou, out[0], True)
+        put(ov, out[1], True)
+        put(oT, out[2], True)
+        put(oq, out[3], True)
+        put(ops_, out[4], False)
+
+    c3 = pl.BlockSpec((L, by, W), lambda i: (0, i + 1, 0),
+                      memory_space=pltpu.VMEM)
+    t3 = pl.BlockSpec((L, 8, W), lambda i: (0, (i + 1) * r - 1, 0),
+                      memory_space=pltpu.VMEM)
+    b3 = pl.BlockSpec((L, 8, W), lambda i: (0, (i + 1) * r + r, 0),
+                      memory_space=pltpu.VMEM)
+    c2 = pl.BlockSpec((by, W), lambda i: (i + 1, 0),
+                      memory_space=pltpu.VMEM)
+    t2 = pl.BlockSpec((8, W), lambda i: ((i + 1) * r - 1, 0),
+                      memory_space=pltpu.VMEM)
+    b2 = pl.BlockSpec((8, W), lambda i: ((i + 1) * r + r, 0),
+                      memory_space=pltpu.VMEM)
+    sh3 = jax.ShapeDtypeStruct((L, ly + 2 * by, W), jnp.float32)
+    sh2 = jax.ShapeDtypeStruct((ly + 2 * by, W), jnp.float32)
+
+    rng = np.random.default_rng(0)
+    mk3 = lambda: jnp.asarray(
+        1.0 + 0.01 * rng.standard_normal((L, ly + 2 * by, W)), jnp.float32)
+    ps0 = jnp.asarray(1000.0 + rng.standard_normal((ly + 2 * by, W)),
+                      jnp.float32)
+    ops_in = [mk3(), mk3(), mk3(), mk3(), ps0]
+
+    for label, xpad, out128 in (("offset64", 64, False),
+                                ("xpad128", 128, False),
+                                ("off64_out128", 64, True)):
+        rec = {"variant": label}
+        k = functools.partial(kern, xpad=xpad, out128=out128)
+
+        def call(interp):
+            return pl.pallas_call(
+                k,
+                grid=(ly // by,),
+                in_specs=[c3, t3, b3] * 4 + [c2, t2, b2],
+                out_specs=(c3, c3, c3, c3, c2),
+                out_shape=(sh3, sh3, sh3, sh3, sh2),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 << 20),
+                interpret=interp,
+            )(*(x for a in ops_in[:4] for x in (a, a, a)),
+              ops_in[4], ops_in[4], ops_in[4])
+
+        try:
+            got = jax.jit(lambda: call(False))()
+            ref = call(True)
+            md = max(float(jnp.max(jnp.abs(
+                g[..., by:by + ly, :] - r_[..., by:by + ly, :])))
+                for g, r_ in zip(got, ref))
+            rec["ok"] = True
+            rec["maxdiff_vs_interpret"] = md
+        except Exception as e:  # noqa: BLE001
+            rec["error"] = f"{type(e).__name__}: {str(e)[:250]}"
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
