@@ -110,9 +110,17 @@ def main():
                       jnp.float32)
     ops_in = [mk3(), mk3(), mk3(), mk3(), ps0]
 
-    for label, xpad, out128 in (("offset64", 64, False),
-                                ("xpad128", 128, False),
-                                ("off64_out128", 64, True)):
+    import argparse
+    apx = argparse.ArgumentParser()
+    apx.add_argument("--variant", default=None,
+                     help="run only this variant (fresh process per "
+                          "variant: a failed compile can wedge the "
+                          "remote session, poisoning later attempts)")
+    vargs = apx.parse_args()
+    allv = (("offset64", 64, False), ("xpad128", 128, False),
+            ("off64_out128", 64, True))
+    chosen = [v for v in allv if vargs.variant in (None, v[0])]
+    for label, xpad, out128 in chosen:
         rec = {"variant": label}
         k = functools.partial(kern, xpad=xpad, out128=out128)
 
