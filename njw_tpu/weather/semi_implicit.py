@@ -211,11 +211,13 @@ def semi_implicit_pe(
     Vinvj = jnp.asarray(Vinv, jnp.float32)
     lamj = jnp.asarray(lam, jnp.float32)
 
+    # Real f32 device constants ONLY at setup: on the axon TPU backend a
+    # complex buffer at the runtime layer (eager astype/device_put) wedges
+    # the session (CLAUDE.md). The 1j products are formed INSIDE the
+    # traced step functions, where complex is supported.
     kx = fd_wavenumbers(grid.nx, grid.dx, "central")[None, :]
     ky = fd_wavenumbers(grid.ny, grid.dy, "central")[:, None]
     k2 = kx * kx + ky * ky                      # (ny, nx)
-    ikx = 1j * kx.astype(jnp.complex64)
-    iky = 1j * ky.astype(jnp.complex64)
 
     def vmat(A, f):                             # (L,L) x (L,ny,nx)
         return jnp.einsum("kl,lyx->kyx", A, f)
@@ -249,6 +251,8 @@ def semi_implicit_pe(
         T_h = jnp.fft.fft2(s_star.T)
         ps_h = jnp.fft.fft2(s_star.ps)
 
+        ikx = 1j * kx          # complex formed inside the traced fn only
+        iky = 1j * ky
         D_h = ikx * u_h + iky * v_h
         rhs = D_h + (a * k2) * (vmat(Gj, T_h) + c_ps * ps_h[None])
         # mode space: divide each vertical mode by its Helmholtz symbol
