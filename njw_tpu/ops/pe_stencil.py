@@ -1392,10 +1392,20 @@ def _pe_rk4_carry2d_kernel(*refs, L: int, by: int, lx: int, dx: float,
     out = _rk4_chain(s, tend, dt)
 
     def put(ref, val, nd3: bool):
-        core = (val[:, 4:4 + by, xpad:xpad + lx] if nd3
-                else val[4:4 + by, xpad:xpad + lx])
-        pad = ((0, 0), (0, 0), (128, 128)) if nd3 else ((0, 0), (128, 128))
-        ref[:] = jnp.pad(core, pad, constant_values=1.0)
+        # PARTIAL interior store: the jnp.pad/ones-concat forms of this
+        # output (lane-concat around a sublane-offset-4 core) are
+        # REJECTED by the Mosaic toolchain — isolated by
+        # scripts/probe_carry2d_lowering.py (r5): every store-output
+        # variant compiles, every pad/concat-output variant does not.
+        # The unwritten halo lanes stay uninitialized, which is safe:
+        # garbage at cols <128-4 / >=128+lx+4 influences only outputs
+        # outside the stored interior (stencil radius 4 over the step),
+        # and the 4 adjacent lanes are ppermute-refreshed by the caller
+        # before every read.
+        if nd3:
+            ref[:, :, 128:128 + lx] = val[:, 4:4 + by, xpad:xpad + lx]
+        else:
+            ref[:, 128:128 + lx] = val[4:4 + by, xpad:xpad + lx]
 
     put(ou, out[0], True)
     put(ov, out[1], True)

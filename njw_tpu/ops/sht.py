@@ -96,7 +96,7 @@ class SphericalHarmonicTransform:
 
     def __init__(self, nlat: int, trunc: int | None = None,
                  radius: float = 6.371e6, dtype=jnp.float32,
-                 table_dtype=None, fold_parity: bool = False):
+                 table_dtype=None, fold_parity: bool | None = None):
         self.nlat = int(nlat)
         self.nlon = 2 * self.nlat
         self.trunc = int(trunc) if trunc is not None else \
@@ -147,6 +147,13 @@ class SphericalHarmonicTransform:
         # the corrected r4 roofline identified). Slicing is by n parity
         # (m-independent), so no gathers anywhere; the (-1)^m factor
         # rides as a per-m sign vector.
+        # Default by size (same-session A/B, BENCH_NOTES r5): the fold
+        # wins ~31% at T341 (nlat=512: BVE 3.52->2.40, SWE 5.03->3.48
+        # ms/step) but LOSES at T170 (nlat=256: +16-36%) — at small
+        # sizes the extra half-size matmul dispatches cost more than the
+        # halved FLOPs. Auto: on from nlat=512 (even nlat required).
+        if fold_parity is None:
+            fold_parity = self.nlat >= 512 and self.nlat % 2 == 0
         self.fold_parity = bool(fold_parity)
         self._folded = None
         if self.fold_parity:

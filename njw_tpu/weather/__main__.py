@@ -30,6 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--method", default="rk4",
         choices=["euler", "rk2", "rk4", "adams_bashforth", "semi_implicit"],
     )
+    p.add_argument("--si-order", type=int, default=1, choices=[1, 2],
+                   help="semi_implicit only: 1=CN, 2=predictor-corrector "
+                        "(stable explicit advection at several-x-CFL dt)")
     p.add_argument("--initial", default="vortex")
     p.add_argument("--bc", default="periodic",
                    choices=["periodic", "clamped", "outflow", "reflective"])
@@ -94,7 +97,7 @@ def main(argv=None) -> int:
         integration_method=args.method, boundary_condition=args.bc, grid_type=args.grid_type,
         coriolis_f=args.coriolis, beta=args.beta, viscosity=args.viscosity,
         backend=args.backend, max_steps=args.steps,
-        output_interval=args.output_interval,
+        output_interval=args.output_interval, si_order=args.si_order,
     )
     if args.model == "primitive" and args.initial == "vortex":
         args.initial = "baroclinic"  # PE default (vortex is SWE-only)

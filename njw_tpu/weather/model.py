@@ -38,6 +38,9 @@ class SimConfig:
 
     model: str = "shallow_water"  # shallow_water | barotropic | primitive | general
     integration_method: str = "rk4"  # euler|rk2|rk4|adams_bashforth|semi_implicit
+    si_order: int = 1  # semi_implicit only: 1 (CN) | 2 (predictor-corrector;
+    #   explicit-advection stability region like a midpoint method — needed
+    #   for advectively-vigorous states at several-x-CFL dt)
     boundary_condition: str = "periodic"  # periodic | clamped | outflow | reflective
     grid_type: str = "cartesian"  # cartesian (A-grid) | staggered (C-grid)
     #   | spherical_harmonic (global spectral) | icosahedral (10-panel FV)
@@ -221,7 +224,8 @@ class Simulation:
             from njw_tpu.weather.semi_implicit import semi_implicit_swe
 
             stepper_factory = lambda t: semi_implicit_swe(
-                t, grid=grid, params=params
+                t, grid=grid, params=params,
+                order=getattr(config, "si_order", 1),
             )
         else:
             stepper_factory = _maybe_pallas_stepper(config, grid, params)

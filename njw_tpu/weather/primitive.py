@@ -266,7 +266,8 @@ def make_primitive_sim(sim_cls, config, initial_condition: str = "baroclinic",
         from njw_tpu.weather.semi_implicit import semi_implicit_pe
 
         stepper_factory = lambda t: semi_implicit_pe(
-            t, grid=grid, params=params)
+            t, grid=grid, params=params,
+            order=getattr(config, "si_order", 1))
     if config.backend in ("auto", "pallas") \
             and config.integration_method == "rk4":
         from njw_tpu.ops.pe_stencil import (

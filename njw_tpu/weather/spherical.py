@@ -303,7 +303,7 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
     radius = float(ic_params.pop("radius", EARTH_RADIUS))
     omega = float(ic_params.pop("omega", EARTH_OMEGA))
     nu4 = float(ic_params.pop("nu4", 0.0))
-    fold = bool(ic_params.pop("fold_parity", False))
+    fold = ic_params.pop("fold_parity", None)  # None -> size-based auto
     sht = SphericalHarmonicTransform(nlat, radius=radius, fold_parity=fold)
 
     # IC/output construction goes through jit with the transform as a
@@ -387,7 +387,8 @@ def make_spherical_sim(sim_cls, config, initial_condition: str,
         # (eager complex ops are unavailable on remote TPU backends)
         phi_ref = float(np.asarray(jax.device_get(state0.phi))[0, 0, 0])
         raw = semi_implicit_spherical_swe(
-            sht, omega, phi_ref=phi_ref, nu4=nu4)
+            sht, omega, phi_ref=phi_ref, nu4=nu4,
+            order=getattr(config, "si_order", 1))
 
         def _packed_step(carry, p, dt):
             carry, s2 = raw.step(carry, unpack_state(p), dt)

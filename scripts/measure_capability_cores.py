@@ -145,11 +145,12 @@ def nested():
 
 
 def _si_pair(mk_sim, pairs, sync_field, label, steps):
-    for method, dt in pairs:
-        sim = mk_sim(method, dt)
+    for method, dt, *rest in pairs:
+        order = rest[0] if rest else 1
+        sim = mk_sim(method, dt, order)
         ms = _sim_ms_per_step(sim, steps, sync_field)
         print(json.dumps({
-            "core": label, "method": method, "dt": dt,
+            "core": label, "method": method, "dt": dt, "si_order": order,
             "ms_per_step": round(ms, 4),
             "stepper": sim.stepper.name,
             "sim_seconds_per_wall_second": round(dt / ms * 1e3, 1),
@@ -163,13 +164,20 @@ def si_swe():
 
     n = 512
 
-    def mk(method, dt):
+    def mk(method, dt, order=1):
         cfg = SimConfig(grid_width=n, grid_height=n, dt=dt,
-                        integration_method=method, coriolis_f=1e-4)
-        return Simulation.from_config(cfg, "vortex", strength=0.5)
+                        integration_method=method, coriolis_f=1e-4,
+                        si_order=order)
+        # jet_stream: the vortex IC blows up under order-1 SI's explicit
+        # advection over the 500-step measured horizon (CPU-verified);
+        # the jet at 2 m/s is the stability test's validated IC
+        return Simulation.from_config(cfg, "jet_stream", strength=2.0)
 
-    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07
-    _si_pair(mk, [("rk4", 0.05), ("semi_implicit", 0.25)], "h",
+    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07.
+    # order-2 SI: order 1 is borderline at this horizon (stable in the
+    # CPU scan, tipped by TPU rounding differences) — o2 has a real
+    # explicit-advection stability region and is CPU-stable with margin
+    _si_pair(mk, [("rk4", 0.05), ("semi_implicit", 0.25, 2)], "h",
              f"planar_swe_{n}", 100)
 
 
@@ -179,10 +187,11 @@ def si_pe():
     at 900 s (the stability test's validated dt)."""
     from njw_tpu.weather import SimConfig, Simulation
 
-    def mk(method, dt):
+    def mk(method, dt, order=1):
         cfg = SimConfig(model="primitive", grid_width=512, grid_height=512,
                         num_levels=20, dx=1e5, dy=1e5, dt=dt,
-                        integration_method=method, coriolis_f=1e-4)
+                        integration_method=method, coriolis_f=1e-4,
+                        si_order=order)
         return Simulation.from_config(cfg, "baroclinic", u_jet=5.0,
                                       perturb=0.5)
 
@@ -195,13 +204,17 @@ def si_sph():
     per-coefficient Crank-Nicolson stepper at 4x dt."""
     from njw_tpu.weather import SimConfig, Simulation
 
-    def mk(method, dt):
+    def mk(method, dt, order=1):
         cfg = SimConfig(model="shallow_water", grid_width=512,
                         grid_height=256, grid_type="spherical_harmonic",
-                        dt=dt, integration_method=method)
+                        dt=dt, integration_method=method, si_order=order)
         return Simulation.from_config(cfg, "rossby_haurwitz", nu4=1e15)
 
-    _si_pair(mk, [("rk4", 240.0), ("semi_implicit", 960.0)], "phi",
+    # order-2 SI at 2x the RK4 dt: CPU-verified stable over the measured
+    # horizon, where order 1 is NOT (the RH wave's explicit advection
+    # under plain CN splitting diverges even at dt=240 by ~120 steps);
+    # dt=960 exceeds the ADVECTIVE CFL (~780 s at T170) for any method
+    _si_pair(mk, [("rk4", 240.0), ("semi_implicit", 480.0, 2)], "phi",
              "spherical_swe_T170", 40)
 
 

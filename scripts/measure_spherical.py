@@ -110,15 +110,20 @@ def main():
                 return time.perf_counter() - t0
 
             try:
-                iters = 20 if nlat <= 256 else 8
+                # iters sized so the K-step differential (~iters * ms)
+                # dwarfs the ~10-40 ms per-invocation tunnel jitter; the
+                # old 8-iter/min-of-3 read 0.0-0.9 ms/step junk at T341
+                # (min of noisy differences biases toward zero) — use the
+                # MEDIAN of 5 interleaved pairs instead
+                iters = 40 if nlat <= 256 else 32
                 once(iters)
                 once(2 * iters)
                 vals = []
-                for _ in range(3):
+                for _ in range(5):
                     t1 = once(iters)
                     t2 = once(2 * iters)
                     vals.append(max(t2 - t1, 1e-9) / iters * 1e3)
-                ms = min(vals)
+                ms = sorted(vals)[len(vals) // 2]
                 # table-read roofline: each RK4 step = 4 tendencies; a
                 # tendency's stacked contractions read each needed table
                 # once (see sht.syn_stack) — count bytes from the table
