@@ -51,6 +51,12 @@ def main():
     from njw_tpu.ops.pe_stencil import _pe_tend_values, _rk4_chain
 
     L, ly, lx, by = 4, 64, 256, 16
+    for i, a in enumerate(sys.argv):
+        if a == "--shape":  # L,ly,lx,by — size isolation (r5: the full
+            # 1024x512x20 kernel fails where the tiny one compiles)
+            L, ly, lx, by = (int(x) for x in sys.argv[i + 1].split(","))
+            del sys.argv[i:i + 2]
+            break
     W = lx + 256
     r = by // 8
     dt, dx, dy, f = 20.0, 1e5, 1e5, 1e-4
@@ -189,7 +195,7 @@ def main():
                 rec["ok"] = True
                 rec["maxdiff_vs_interpret"] = md
             except Exception as e:  # noqa: BLE001
-                rec["error"] = f"{type(e).__name__}: {str(e)[:250]}"
+                rec["error"] = f"{type(e).__name__}: {str(e)[:4000]}"
             print(json.dumps(rec), flush=True)
             continue
         k = functools.partial(kern, xpad=xpad, outmode=outmode)
@@ -217,7 +223,7 @@ def main():
             rec["ok"] = True
             rec["maxdiff_vs_interpret"] = md
         except Exception as e:  # noqa: BLE001
-            rec["error"] = f"{type(e).__name__}: {str(e)[:250]}"
+            rec["error"] = f"{type(e).__name__}: {str(e)[:4000]}"
         print(json.dumps(rec), flush=True)
 
 

@@ -89,7 +89,7 @@ def main():
                 rec["maxdiff_vs_carry"] = md
             rec["ms_per_step_driverstyle"] = round(chain_time(r1, s0s), 3)
         except Exception as e:  # noqa: BLE001
-            rec["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            rec["error"] = f"{type(e).__name__}: {str(e)[:4000]}"
         print(json.dumps(rec), flush=True)
 
     # bare single-chip fused kernel, same shape (the overhead-free floor)
@@ -113,7 +113,7 @@ def main():
               flush=True)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"probe": "bare_fused_kernel",
-                          "error": str(e)[:300]}), flush=True)
+                          "error": str(e)[:4000]}), flush=True)
 
 
 if __name__ == "__main__":
