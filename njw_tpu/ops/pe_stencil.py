@@ -723,15 +723,26 @@ def _rk4_block_specs(L: int, ny: int, nx: int, by: int, bx: int):
     return specs3, specs2
 
 
-def _rk4_vmem_estimate(L: int, by: int, bx: int, xpad: int = 64) -> int:
+def _rk4_vmem_estimate(L: int, by: int, bx: int, xpad: int = 64,
+                       carry2d: bool = False) -> int:
     """~3 live padded states at the peak (s dies after stage 3; acc and
     the stage being built overlap it) + cum list + I/O. Calibrated on
     v5e: (16,512) at L=40 compiles and runs inside the 100 MB scoped cap
-    (BENCH_NOTES r4), which the earlier 4-state model rejected."""
+    (BENCH_NOTES r4), which the earlier 4-state model rejected.
+
+    carry2d: the persistent-2-D-carry kernel's I/O blocks are the FULL
+    carry width W = bx + 256 (3 input blocks/field of by+16 rows + a
+    W-wide output) — ~1.7x the local kernel's io term. Calibrated r5:
+    at (L=20, bx=512) this model puts by=32 at 104.6 MB (Mosaic rejects
+    it) and by=16 at 62.7 MB (compiles), matching the probe exactly."""
     plane = (by + 8) * (bx + 2 * xpad)
     state = (4 * L + 1) * plane
-    io = (4 * L + 1) * (by * bx + 2 * 8 * bx + 2 * by * LANE
-                        + 4 * 8 * LANE) * 2  # in + out, double-buffered
+    if carry2d:
+        W = bx + 2 * LANE
+        io = (4 * L + 1) * ((by + 2 * 8) * W + by * W) * 2
+    else:
+        io = (4 * L + 1) * (by * bx + 2 * 8 * bx + 2 * by * LANE
+                            + 4 * 8 * LANE) * 2  # in+out, double-buffered
     persist = 3 * state + (L + 30) * plane
     return (persist + 2 * io) * 4
 
@@ -937,16 +948,20 @@ def pe_rk4_pallas_local(
     return PEState(u=out[0], v=out[1], T=out[2], q=out[3], ps=out[4])
 
 
-def pe_rk4_pick_by_2d(L: int, ly: int, lx: int) -> Optional[int]:
+def pe_rk4_pick_by_2d(L: int, ly: int, lx: int,
+                      carry2d: bool = False) -> Optional[int]:
     """Largest strip height whose full-shard-width fused-RK4 frame fits
     VMEM, or None. ONE shared pick (ADVICE r4): used by the kernel's own
     by=None branch AND the sharded fallback gates (parallel.halo), so
-    the fallback decision and the kernel pick can never disagree."""
+    the fallback decision and the kernel pick can never disagree.
+    carry2d=True uses the carry kernel's bigger io model (see
+    _rk4_vmem_estimate)."""
     from njw_tpu.platform.device import detect
 
     budget = _rk4_vmem_budget(detect())
     for cand in (32, 16, 8):
-        if ly % cand == 0 and _rk4_vmem_estimate(L, cand, lx) <= budget:
+        if ly % cand == 0 and _rk4_vmem_estimate(
+                L, cand, lx, carry2d=carry2d) <= budget:
             return cand
     return None
 
@@ -1465,10 +1480,8 @@ def pe_rk4_pallas_carry2d(
 
     sh3 = jax.ShapeDtypeStruct((L, ly + 2 * by, W), jnp.float32)
     sh2 = jax.ShapeDtypeStruct((ly + 2 * by, W), jnp.float32)
-    # frame-based estimate at the shard width + the extra 256-lane I/O
     vmem_limit = min(
-        _rk4_vmem_estimate(L, by, lx)
-        + (4 * L + 1) * (by + 16) * 2 * LANE * 4 * 4 + (8 << 20),
+        _rk4_vmem_estimate(L, by, lx, carry2d=True) + (8 << 20),
         100 << 20)
 
     out = pl.pallas_call(

@@ -933,7 +933,14 @@ def sharded_pe_step_pallas_fused_2d(
     f = float(params.coriolis_f)
 
     if carry:
-        by = by2d
+        # the carry kernel's W-wide I/O blocks need a tighter by than
+        # local2d's (calibrated r5: by=32 rejected, 16 compiles at
+        # L=20, lx=512) — if no strip fits the carry model, fall back
+        # to the concat form below, which still fits where by2d did
+        by = pe_rk4_pick_by_2d(L, ly, lx, carry2d=True)
+        carry = by is not None and ly % by == 0
+
+    if carry:
 
         def refresh(a):
             """x bands (interior rows) then full-width y slabs — the y
