@@ -886,20 +886,23 @@ def sharded_swe_step_pallas_2d(
 def sharded_pe_step_pallas_fused_2d(
     grid: GridSpec, params: PhysicsParams, mesh: Mesh, *, dt: float,
     n_steps: int = 1, interpret: bool = False, donate: bool = False,
-    carry: bool = True,
+    carry: bool = False,
 ):
     """Multi-chip PE with the WHOLE-RK4 fused kernel over a ('y','x')
     mesh (the BASELINE config-5 decomposition, r4): ONE exchange + ONE
     kernel pass per step vs the stage path's four of each.
 
-    carry=True (r5 default): the 2-D-padded block IS the scan carry
-    (pe_rk4_pallas_carry2d) — each step ppermutes 4-lane x bands and
-    4-row full-width y slabs into the halo bands with static-offset
-    updates; no per-step concat/view copy of the (4L+1)-plane state
-    (closes the r4 ROADMAP "2-D carry" item; the 1-D paths' 0.40->0.32
-    precedent). carry=False keeps the r4 concat form: per step,
+    carry=False (default, MEASURED r5): the concat form — per step,
     ppermute 128-lane x slabs then 8-row y slabs and rebuild the
     (L, ly+16, lx+256) padded fields for pe_rk4_pallas_local2d.
+    carry=True selects the persistent-2-D-carry variant
+    (pe_rk4_pallas_carry2d): no per-step concat, but its c/t/b blocks
+    are the full carry width W = lx+256 — the overlapping W-wide DMA
+    streams cost MORE than the concat they remove (same-session
+    1-device-proxy A/B at 1024x{256,512}x20: carry 6.05/7.84 ms/step
+    vs concat 3.35/5.77, bit-identical outputs; BENCH_NOTES r5). The
+    1-D carry wins because its blocks stay interior-width; the 2-D one
+    pays +50% lanes on every block. Kept as a tested variant.
 
     Falls back to the 4-stage path (sharded_pe_step_pallas_2d) when the
     shard width's full-width strips exceed VMEM.

@@ -44,10 +44,13 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--nx", type=int, default=512,
+                    help="shard width (256 = the (1,8)-mesh config-5 "
+                         "width, where carry and local pick the same by)")
     args = ap.parse_args()
     N = args.steps
 
-    ny, nx, L = 1024, 512, 20
+    ny, nx, L = 1024, args.nx, 20
     grid = GridSpec(nx=nx, ny=ny, levels=L, dx=1e5, dy=1e5)
     params = PhysicsParams(coriolis_f=1e-4)
     s0 = pe_initial_state(grid, u_jet=10.0, perturb=0.5)
