@@ -165,18 +165,20 @@ def si_swe():
     n = 512
 
     def mk(method, dt, order=1):
+        # viscosity 1e-3 on BOTH legs (a fair pair): even order-2 SI
+        # tips into the weak advective instability on TPU rounding at
+        # 500 inviscid steps (CPU-stable, TPU-NaN) — operational SI
+        # always carries dissipation, and with it the pair is robustly
+        # stable on both platforms (CPU scan: maxdev ~1e-3 at step 500)
         cfg = SimConfig(grid_width=n, grid_height=n, dt=dt,
                         integration_method=method, coriolis_f=1e-4,
-                        si_order=order)
+                        si_order=order, viscosity=1e-3)
         # jet_stream: the vortex IC blows up under order-1 SI's explicit
         # advection over the 500-step measured horizon (CPU-verified);
         # the jet at 2 m/s is the stability test's validated IC
         return Simulation.from_config(cfg, "jet_stream", strength=2.0)
 
-    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07.
-    # order-2 SI: order 1 is borderline at this horizon (stable in the
-    # CPU scan, tipped by TPU rounding differences) — o2 has a real
-    # explicit-advection stability region and is CPU-stable with margin
+    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07
     _si_pair(mk, [("rk4", 0.05), ("semi_implicit", 0.25, 2)], "h",
              f"planar_swe_{n}", 100)
 
