@@ -178,9 +178,43 @@ def si_swe():
         # the jet at 2 m/s is the stability test's validated IC
         return Simulation.from_config(cfg, "jet_stream", strength=2.0)
 
-    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07
-    _si_pair(mk, [("rk4", 0.05), ("semi_implicit", 0.25, 2)], "h",
-             f"planar_swe_{n}", 100)
+    # CFL: c = sqrt(g*10) ~ 9.9 m/s at dx=1 -> explicit dt ~ 0.07.
+    # 20-step chunks (100-step total horizon): the jet is barotropically
+    # unstable and on THIS backend the SI path's matmul-FFT rounding
+    # seeds the shear mode (blows ~step 260 at ANY viscosity, incl.
+    # 1e-2; CPU runs 500 steps flat at 1e-3 maxdev) — ms/step is
+    # state-independent, so the row measures the pre-instability window
+    # and BENCH_NOTES records the caveat.
+    # Scan-length differential with STATE RESET (one timed call per
+    # length, so the per-invocation overhead cancels exactly; every run
+    # restarts from s0 so no run crosses the ~260-step instability):
+    # T = t(200-step call) - t(100-step call), exact-length warmups.
+    import numpy as np
+
+    for label, dt, order in (("rk4", 0.05, 1), ("semi_implicit", 0.25, 2)):
+        sim = mk(label, dt, order)
+        s0 = sim.state
+
+        def once(k, sim=sim, s0=s0):
+            sim.state = s0
+            t0 = time.perf_counter()
+            sim.step(k)
+            _ = np.asarray(sim.state.h[:4, :4])
+            el = time.perf_counter() - t0
+            assert bool(np.isfinite(np.asarray(sim.state.h)).all()), \
+                "blew up"
+            return el
+
+        once(100), once(200)  # compile + warm both lengths
+        vals = sorted((once(200) - once(100)) / 100.0 * 1e3
+                      for _ in range(3))
+        T = vals[1]
+        print(json.dumps({
+            "core": f"planar_swe_{n}", "method": label, "dt": dt,
+            "si_order": order, "ms_per_step": round(T, 4),
+            "method_note": "scan-length differential, state reset",
+            "sim_seconds_per_wall_second": round(dt / T * 1e3, 1),
+        }), flush=True)
 
 
 def si_pe():
