@@ -144,6 +144,40 @@ def nested():
     }), flush=True)
 
 
+def _scanlen_pair(mk_sim, pairs, sync_field, label, k):
+    """Overhead-free pricing pair: T = t(2k-step call) - t(k-step call),
+    ONE timed invocation per length (the 25-40 ms per-invocation tunnel
+    cost cancels exactly), exact-length warmups, and a STATE RESET to
+    s0 before every run so no run exceeds 2k steps from the IC (several
+    SI configs are only validated stable over a bounded horizon)."""
+    import numpy as np
+
+    for method, dt, *rest in pairs:
+        order = rest[0] if rest else 1
+        sim = mk_sim(method, dt, order)
+        s0 = sim.state
+
+        def once(n, sim=sim, s0=s0):
+            sim.state = s0
+            t0 = time.perf_counter()
+            sim.step(n)
+            _ = np.asarray(getattr(sim.state, sync_field)[:4, :4])
+            el = time.perf_counter() - t0
+            assert bool(np.isfinite(np.asarray(
+                getattr(sim.state, sync_field))).all()), "blew up"
+            return el
+
+        once(k), once(2 * k)  # compile + warm both lengths
+        vals = sorted((once(2 * k) - once(k)) / k * 1e3 for _ in range(3))
+        T = vals[1]
+        print(json.dumps({
+            "core": label, "method": method, "dt": dt, "si_order": order,
+            "ms_per_step": round(T, 4), "stepper": sim.stepper.name,
+            "method_note": "scan-length differential, state reset",
+            "sim_seconds_per_wall_second": round(dt / T * 1e3, 1),
+        }), flush=True)
+
+
 def _si_pair(mk_sim, pairs, sync_field, label, steps):
     for method, dt, *rest in pairs:
         order = rest[0] if rest else 1
@@ -185,36 +219,8 @@ def si_swe():
     # 1e-2; CPU runs 500 steps flat at 1e-3 maxdev) — ms/step is
     # state-independent, so the row measures the pre-instability window
     # and BENCH_NOTES records the caveat.
-    # Scan-length differential with STATE RESET (one timed call per
-    # length, so the per-invocation overhead cancels exactly; every run
-    # restarts from s0 so no run crosses the ~260-step instability):
-    # T = t(200-step call) - t(100-step call), exact-length warmups.
-    import numpy as np
-
-    for label, dt, order in (("rk4", 0.05, 1), ("semi_implicit", 0.25, 2)):
-        sim = mk(label, dt, order)
-        s0 = sim.state
-
-        def once(k, sim=sim, s0=s0):
-            sim.state = s0
-            t0 = time.perf_counter()
-            sim.step(k)
-            _ = np.asarray(sim.state.h[:4, :4])
-            el = time.perf_counter() - t0
-            assert bool(np.isfinite(np.asarray(sim.state.h)).all()), \
-                "blew up"
-            return el
-
-        once(100), once(200)  # compile + warm both lengths
-        vals = sorted((once(200) - once(100)) / 100.0 * 1e3
-                      for _ in range(3))
-        T = vals[1]
-        print(json.dumps({
-            "core": f"planar_swe_{n}", "method": label, "dt": dt,
-            "si_order": order, "ms_per_step": round(T, 4),
-            "method_note": "scan-length differential, state reset",
-            "sim_seconds_per_wall_second": round(dt / T * 1e3, 1),
-        }), flush=True)
+    _scanlen_pair(mk, [("rk4", 0.05), ("semi_implicit", 0.25, 2)], "h",
+                  f"planar_swe_{n}", 100)
 
 
 def si_pe():
@@ -233,9 +239,10 @@ def si_pe():
 
     # CPU-scanned over the full 150-step horizon: order-1 diverges at
     # every tested dt (900/600 by ~60 steps); order-2 diverges at 900
-    # and 600 but is stable at 450 — the honest multi-x-CFL config
-    _si_pair(mk, [("rk4", 240.0), ("semi_implicit", 450.0, 2)], "ps",
-             "pe_512x512x20", 30)
+    # and 600 but is stable at 450 — the honest multi-x-CFL config.
+    # k=50: the longest single run is 100 steps < the validated 150
+    _scanlen_pair(mk, [("rk4", 240.0), ("semi_implicit", 450.0, 2)], "ps",
+                  "pe_512x512x20", 50)
 
 
 def si_sph():
@@ -252,9 +259,10 @@ def si_sph():
     # order-2 SI at 2x the RK4 dt: CPU-verified stable over the measured
     # horizon, where order 1 is NOT (the RH wave's explicit advection
     # under plain CN splitting diverges even at dt=240 by ~120 steps);
-    # dt=960 exceeds the ADVECTIVE CFL (~780 s at T170) for any method
-    _si_pair(mk, [("rk4", 240.0), ("semi_implicit", 480.0, 2)], "phi",
-             "spherical_swe_T170", 40)
+    # dt=960 exceeds the ADVECTIVE CFL (~780 s at T170) for any method.
+    # k=40: longest single run is 80 steps < the validated 200
+    _scanlen_pair(mk, [("rk4", 240.0), ("semi_implicit", 480.0, 2)], "phi",
+                  "spherical_swe_T170", 40)
 
 
 def accuracy():
